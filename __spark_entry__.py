@@ -16,7 +16,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geotiff_tiler_spark.functions import geo
-from geotiff_tiler_spark.operators import tiling
+from geotiff_tiler_spark.functions import text as T
+from geotiff_tiler_spark.operators import dedup, knn, similarity, spatial_join, tiling
+from geotiff_tiler_spark.sources import labels
 from geotiff_tiler_spark.operators.tiling import TilingParams
 
 # One canonical parameter set for the contract queries (the example
@@ -253,6 +255,178 @@ def q08_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q09_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy; training-data op #1). Summary by group size."""
+    groups = dedup.exact_dedup_groups(_docs(spark, sf_dir))
+    return groups.groupBy("dup_cnt").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.min("canonical_doc").alias("min_canonical"),
+    )
+
+
+def q10_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (shingle->minhash; dedup ladder stage 1)."""
+    sigs = dedup.minhash_signature(_docs(spark, sf_dir))
+    return sigs.select("doc_id", "mh_0", "mh_7", "mh_15")
+
+
+def q11_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash LSH banding -> candidate pairs -> exact n-gram Jaccard refine."""
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signature(docs)
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_buckets(sigs))
+    return dedup.ngram_jaccard_pairs(docs, pairs)
+
+
+def q12_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (bit-majority over token hashes)."""
+    return dedup.simhash(_docs(spark, sf_dir))
+
+
+def q13_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic vs recorded lang: confusion counts."""
+    docs = _docs(spark, sf_dir)
+    pred = docs.withColumn("pred_lang", T.predict_lang("text"))
+    return pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q14_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality metrics (token/punct/stopword counts, exact ints)."""
+    q = T.quality_metrics(_docs(spark, sf_dir))
+    return q.select("doc_id", "n_tokens", "punct_cnt", "stop_cnt", "tok_chars")
+
+
+def q15_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min shingle-hash sketch + token count."""
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        T.doc_fingerprint("text").alias("fingerprint"),
+        T.token_count("text").alias("n_tokens"),
+    )
+
+
+def q16_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k over embeddings (similarity baseline)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.cosine_topk(emb, k=5, query_mod=25)
+
+
+def q17_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit LSH bucketed ANN top-k (similarity scale path)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.lsh_ann_topk(emb, k=5, query_mod=25)
+
+
+def q18_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic agg parity (TPC-H Q1 shape) — partial+final hash agg."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q19_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast join chain + per-group top-k (window row_number)."""
+    from pyspark.sql.window import Window
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    spend = o.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    j = spend.join(F.broadcast(c), spend.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    w = Window.partitionBy("n_name").orderBy(F.col("spend").desc(), F.col("o_custkey"))
+    return (
+        j.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 3)
+        .select("n_name", "rank", "o_custkey", "spend", "n_orders")
+    )
+
+
+def q20_events_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregate (streaming-style, batch parity)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.withColumn("win", F.unix_timestamp(F.date_trunc("hour", F.col("ts"))))
+        .groupBy("win", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q21_antijoin_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7 resumability: anti-join of work table against completed manifest."""
+    docs = _docs(spark, sf_dir)
+    done = docs.filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    remaining = docs.join(done, "doc_id", "left_anti")
+    return remaining.groupBy("source").agg(
+        F.count(F.lit(1)).alias("remaining"),
+        F.min("doc_id").alias("min_doc"),
+    )
+
+
+
+
+def q22_bounds_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2: bbox IoU%% join of images vs synthesized label boxes
+    (reference io.py:312-352), cell-prefiltered equi-join + exact refine."""
+    pts = tiling.doc_points(_docs(spark, sf_dir), P)
+    images = pts.select("image_id").distinct()
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    boxes = labels.label_boxes(sup)
+    return spatial_join.bounds_overlap_join(images, boxes, P.image_res)
+
+
+def q23_point_in_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 (rect): point-in-polygon filter/refine join, per-class counts."""
+    pts = tiling.doc_points(_docs(spark, sf_dir), P)
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    boxes = labels.label_boxes(sup)
+    hits = spatial_join.point_in_box_join(pts, boxes, P.image_res)
+    return hits.groupBy("class").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.countDistinct("feature_id").alias("n_features"),
+    )
+
+
+def q24_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN via cell-ring expansion with brute-force fallback (north_rule);
+    exact result, verified against the all-pairs oracle."""
+    pts = tiling.doc_points(_docs(spark, sf_dir), P)
+    queries = pts.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"),
+    )
+    points = pts.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("lon").alias("n_lon"),
+        F.col("lat").alias("n_lat"),
+    )
+    res = knn.knn_cell_ring(queries, points, k=5, res=4, max_ring=3)
+    return res.withColumn("dist2", F.round(F.col("dist2"), 9))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -284,6 +458,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q06_band_stats": q06_band_stats,
         "q07_class_distribution": q07_class_distribution,
         "q08_spatial_grid": q08_spatial_grid,
+        "q09_exact_dedup": q09_exact_dedup,
+        "q10_minhash_sig": q10_minhash_sig,
+        "q11_lsh_jaccard": q11_lsh_jaccard,
+        "q12_simhash": q12_simhash,
+        "q13_langid": q13_langid,
+        "q14_quality": q14_quality,
+        "q15_fingerprint": q15_fingerprint,
+        "q16_cosine_topk": q16_cosine_topk,
+        "q17_ann_lsh": q17_ann_lsh,
+        "q18_pricing_summary": q18_pricing_summary,
+        "q19_top_customers": q19_top_customers,
+        "q20_events_window": q20_events_window,
+        "q21_antijoin_resume": q21_antijoin_resume,
+        "q22_bounds_overlap": q22_bounds_overlap,
+        "q23_point_in_box": q23_point_in_box,
+        "q24_knn": q24_knn,
     }
 
 
@@ -366,5 +556,249 @@ SELECT per.image_id, per.grid_x, per.grid_y, per.lang, per.cnt,
        per.cnt::DOUBLE / tot.tot AS frac
 FROM per JOIN tot
   ON per.image_id = tot.image_id AND per.grid_x = tot.grid_x AND per.grid_y = tot.grid_y
+""",
+        "q09_exact_dedup": """
+WITH groups AS (
+  SELECT md5(text) AS text_md5, COUNT(*) AS dup_cnt, MIN(doc_id) AS canonical_doc
+  FROM documents GROUP BY 1
+)
+SELECT dup_cnt, COUNT(*) AS n_groups, MIN(canonical_doc) AS min_canonical
+FROM groups GROUP BY dup_cnt
+""",
+        "q10_minhash_sig": """
+WITH sigs AS (
+  SELECT doc_id,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('0:'), 1, 15))::BIGINT) AS mh_0,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('1:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('1:'), 1, 15))::BIGINT) AS mh_1,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('2:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('2:'), 1, 15))::BIGINT) AS mh_2,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('3:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('3:'), 1, 15))::BIGINT) AS mh_3,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('4:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('4:'), 1, 15))::BIGINT) AS mh_4,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('5:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('5:'), 1, 15))::BIGINT) AS mh_5,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('6:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('6:'), 1, 15))::BIGINT) AS mh_6,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('7:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('7:'), 1, 15))::BIGINT) AS mh_7,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('8:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('8:'), 1, 15))::BIGINT) AS mh_8,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('9:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('9:'), 1, 15))::BIGINT) AS mh_9,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('10:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('10:'), 1, 15))::BIGINT) AS mh_10,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('11:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('11:'), 1, 15))::BIGINT) AS mh_11,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('12:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('12:'), 1, 15))::BIGINT) AS mh_12,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('13:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('13:'), 1, 15))::BIGINT) AS mh_13,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('14:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('14:'), 1, 15))::BIGINT) AS mh_14,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('15:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('15:'), 1, 15))::BIGINT) AS mh_15
+  FROM documents
+)
+SELECT doc_id, mh_0, mh_7, mh_15 FROM sigs
+""",
+        "q11_lsh_jaccard": """
+WITH sigs AS (
+  SELECT doc_id,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('0:'), 1, 15))::BIGINT) AS mh_0,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('1:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('1:'), 1, 15))::BIGINT) AS mh_1,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('2:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('2:'), 1, 15))::BIGINT) AS mh_2,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('3:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('3:'), 1, 15))::BIGINT) AS mh_3,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('4:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('4:'), 1, 15))::BIGINT) AS mh_4,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('5:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('5:'), 1, 15))::BIGINT) AS mh_5,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('6:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('6:'), 1, 15))::BIGINT) AS mh_6,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('7:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('7:'), 1, 15))::BIGINT) AS mh_7,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('8:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('8:'), 1, 15))::BIGINT) AS mh_8,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('9:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('9:'), 1, 15))::BIGINT) AS mh_9,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('10:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('10:'), 1, 15))::BIGINT) AS mh_10,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('11:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('11:'), 1, 15))::BIGINT) AS mh_11,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('12:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('12:'), 1, 15))::BIGINT) AS mh_12,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('13:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('13:'), 1, 15))::BIGINT) AS mh_13,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('14:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('14:'), 1, 15))::BIGINT) AS mh_14,
+         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('15:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('15:'), 1, 15))::BIGINT) AS mh_15
+  FROM documents
+),
+buckets AS (
+  SELECT doc_id, 0 AS band, ('0x' || substr(md5(mh_0::VARCHAR || '_' || mh_1::VARCHAR || '_' || mh_2::VARCHAR || '_' || mh_3::VARCHAR), 1, 15))::BIGINT AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 1 AS band, ('0x' || substr(md5(mh_4::VARCHAR || '_' || mh_5::VARCHAR || '_' || mh_6::VARCHAR || '_' || mh_7::VARCHAR), 1, 15))::BIGINT AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 2 AS band, ('0x' || substr(md5(mh_8::VARCHAR || '_' || mh_9::VARCHAR || '_' || mh_10::VARCHAR || '_' || mh_11::VARCHAR), 1, 15))::BIGINT AS bucket FROM sigs
+  UNION ALL
+  SELECT doc_id, 3 AS band, ('0x' || substr(md5(mh_12::VARCHAR || '_' || mh_13::VARCHAR || '_' || mh_14::VARCHAR || '_' || mh_15::VARCHAR), 1, 15))::BIGINT AS bucket FROM sigs
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')))) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, COALESCE(i.inter, 0) AS inter,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CASE WHEN sa.n_sh + sb.n_sh - COALESCE(i.inter, 0) > 0
+            THEN COALESCE(i.inter, 0)::DOUBLE / (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0))
+            ELSE 0.0 END AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+""",
+        "q12_simhash": """
+SELECT doc_id,
+       CAST(CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 64) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 64 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 128) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 128 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 256) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 256 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 512) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 512 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1024) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1024 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2048) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2048 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4096) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4096 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8192) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8192 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16384) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16384 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32768) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32768 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 65536) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 65536 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 131072) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 131072 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 262144) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 262144 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 524288) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 524288 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1048576) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1048576 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2097152) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2097152 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4194304) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4194304 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8388608) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8388608 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16777216) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16777216 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 33554432) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 33554432 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 67108864) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 67108864 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 134217728) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 134217728 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 268435456) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 268435456 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 536870912) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 536870912 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1073741824) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1073741824 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2147483648) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2147483648 ELSE 0 END AS BIGINT) AS simhash,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+        "q13_langid": """
+SELECT lang, CASE WHEN GREATEST(CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('le', 'la', 'et', 'de', 'un', 'une', 'est'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('el', 'la', 'y', 'de', 'un', 'una', 'es'))) AS BIGINT)) = 0 THEN 'und' WHEN CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT) = GREATEST(CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('le', 'la', 'et', 'de', 'un', 'une', 'est'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('el', 'la', 'y', 'de', 'un', 'una', 'es'))) AS BIGINT)) THEN 'en' WHEN CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('le', 'la', 'et', 'de', 'un', 'une', 'est'))) AS BIGINT) = GREATEST(CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('le', 'la', 'et', 'de', 'un', 'une', 'est'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('el', 'la', 'y', 'de', 'un', 'una', 'es'))) AS BIGINT)) THEN 'fr' WHEN CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS BIGINT) = GREATEST(CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('le', 'la', 'et', 'de', 'un', 'une', 'est'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('el', 'la', 'y', 'de', 'un', 'una', 'es'))) AS BIGINT)) THEN 'de' WHEN CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('el', 'la', 'y', 'de', 'un', 'una', 'es'))) AS BIGINT) = GREATEST(CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('le', 'la', 'et', 'de', 'un', 'une', 'est'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('el', 'la', 'y', 'de', 'un', 'una', 'es'))) AS BIGINT)) THEN 'es' ELSE 'und' END AS pred_lang, COUNT(*) AS n
+FROM documents GROUP BY 1, 2
+""",
+        "q14_quality": """
+SELECT doc_id,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+       CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS punct_cnt,
+       CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT) AS stop_cnt,
+       CAST(list_sum(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> length(x))) AS BIGINT) AS tok_chars
+FROM documents
+""",
+        "q15_fingerprint": """
+SELECT doc_id,
+       COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)), 0) AS fingerprint,
+       CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+FROM documents
+""",
+        "q16_cosine_topk": """
+WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64), i -> (q_vec[i]::DOUBLE) * (q_vec[i]::DOUBLE)))) > 0 AND sqrt(list_sum(list_transform(generate_series(1, 64), i -> (c_vec[i]::DOUBLE) * (c_vec[i]::DOUBLE)))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> (q_vec[i]::DOUBLE) * (c_vec[i]::DOUBLE)))) / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> (q_vec[i]::DOUBLE) * (q_vec[i]::DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1, 64), i -> (c_vec[i]::DOUBLE) * (c_vec[i]::DOUBLE))))) ELSE 0.0 END, 6) AS cosine
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+""",
+        "q17_ann_lsh": """
+WITH b AS (
+  SELECT vec_id, embedding, CAST(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END AS BIGINT) AS bucket FROM embeddings
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM b WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM b),
+scored AS (
+  SELECT query_id, neighbor_id, ROUND(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64), i -> (q_vec[i]::DOUBLE) * (q_vec[i]::DOUBLE)))) > 0 AND sqrt(list_sum(list_transform(generate_series(1, 64), i -> (c_vec[i]::DOUBLE) * (c_vec[i]::DOUBLE)))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> (q_vec[i]::DOUBLE) * (c_vec[i]::DOUBLE)))) / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> (q_vec[i]::DOUBLE) * (q_vec[i]::DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1, 64), i -> (c_vec[i]::DOUBLE) * (c_vec[i]::DOUBLE))))) ELSE 0.0 END, 6) AS cosine
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+""",
+        "q18_pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+        "q19_top_customers": """
+WITH spend AS (
+  SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS spend, COUNT(*) AS n_orders
+  FROM orders GROUP BY 1
+),
+j AS (
+  SELECT n.n_name, s.o_custkey, s.spend, s.n_orders
+  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY spend DESC, o_custkey) AS rank
+  FROM j
+)
+SELECT n_name, rank, o_custkey, spend, n_orders FROM r WHERE rank <= 3
+""",
+        "q20_events_window": """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS win, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events GROUP BY 1, 2
+""",
+        "q21_antijoin_resume": """
+SELECT source, COUNT(*) AS remaining, MIN(doc_id) AS min_doc
+FROM documents WHERE doc_id % 10 >= 3 GROUP BY source
+""",
+        "q22_bounds_overlap": f"""
+WITH {_pts_cte()},
+imgs AS (SELECT DISTINCT image_id FROM pts),
+ib AS (
+  SELECT image_id,
+         (CAST(floor(image_id % 18014398509481984 / 134217728) AS BIGINT))::DOUBLE * 45.0 - 180.0 AS img_xmin,
+         (image_id % 134217728)::DOUBLE * 22.5 - 90.0 AS img_ymin,
+         ((CAST(floor(image_id % 18014398509481984 / 134217728) AS BIGINT))::DOUBLE + 1) * 45.0 - 180.0 AS img_xmax,
+         ((image_id % 134217728)::DOUBLE + 1) * 22.5 - 90.0 AS img_ymax
+  FROM imgs
+),
+boxes AS (
+SELECT CAST(s_suppkey AS BIGINT) AS feature_id,
+       CASE (('0x' || substr(md5('bc:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4) WHEN 0 THEN 'fore' WHEN 1 THEN 'hydro' WHEN 2 THEN 'road' ELSE 'building' END AS class,
+       (((('0x' || substr(md5('bx:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 360.0 - 180.0) - (((('0x' || substr(md5('bw:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 8.0 + 0.5) / 2 AS xmin,
+       (((('0x' || substr(md5('by:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 180.0 - 90.0) - (((('0x' || substr(md5('bh:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 6.0 + 0.5) / 2 AS ymin,
+       (((('0x' || substr(md5('bx:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 360.0 - 180.0) + (((('0x' || substr(md5('bw:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 8.0 + 0.5) / 2 AS xmax,
+       (((('0x' || substr(md5('by:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 180.0 - 90.0) + (((('0x' || substr(md5('bh:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 6.0 + 0.5) / 2 AS ymax
+FROM supplier
+),
+pairs AS (
+  SELECT ib.image_id, b.feature_id, b.class,
+         GREATEST(LEAST(img_xmax, xmax) - GREATEST(img_xmin, xmin), 0.0)
+         * GREATEST(LEAST(img_ymax, ymax) - GREATEST(img_ymin, ymin), 0.0) AS inter,
+         (img_xmax - img_xmin) * (img_ymax - img_ymin) AS area_a,
+         (xmax - xmin) * (ymax - ymin) AS area_b
+  FROM ib, boxes b
+)
+SELECT image_id, feature_id, class,
+       ROUND(inter / (area_a + area_b - inter) * 100.0, 6) AS overlap_pct
+FROM pairs
+WHERE ROUND(inter / (area_a + area_b - inter) * 100.0, 6) > 0.0
+""",
+        "q23_point_in_box": f"""
+WITH {_pts_cte()},
+boxes AS (
+SELECT CAST(s_suppkey AS BIGINT) AS feature_id,
+       CASE (('0x' || substr(md5('bc:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4) WHEN 0 THEN 'fore' WHEN 1 THEN 'hydro' WHEN 2 THEN 'road' ELSE 'building' END AS class,
+       (((('0x' || substr(md5('bx:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 360.0 - 180.0) - (((('0x' || substr(md5('bw:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 8.0 + 0.5) / 2 AS xmin,
+       (((('0x' || substr(md5('by:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 180.0 - 90.0) - (((('0x' || substr(md5('bh:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 6.0 + 0.5) / 2 AS ymin,
+       (((('0x' || substr(md5('bx:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 360.0 - 180.0) + (((('0x' || substr(md5('bw:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 8.0 + 0.5) / 2 AS xmax,
+       (((('0x' || substr(md5('by:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 180.0 - 90.0) + (((('0x' || substr(md5('bh:' || s_suppkey::VARCHAR), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0) * 6.0 + 0.5) / 2 AS ymax
+FROM supplier
+),
+hits AS (
+  SELECT DISTINCT p.doc_id, b.feature_id, b.class
+  FROM pts p JOIN boxes b
+    ON p.lon >= b.xmin AND p.lon < b.xmax AND p.lat >= b.ymin AND p.lat < b.ymax
+)
+SELECT class, COUNT(*) AS n_hits, COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(DISTINCT feature_id) AS n_features
+FROM hits GROUP BY class
+""",
+        "q24_knn": f"""
+WITH {_pts_cte()},
+q AS (SELECT doc_id AS query_id, lon AS q_lon, lat AS q_lat FROM pts WHERE doc_id % 50 = 0),
+c AS (SELECT doc_id AS neighbor_id, lon AS n_lon, lat AS n_lat FROM pts),
+scored AS (
+  SELECT query_id, neighbor_id,
+         (q_lon - n_lon) * (q_lon - n_lon) + (q_lat - n_lat) * (q_lat - n_lat) AS dist2
+  FROM q, c WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist2, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, ROUND(dist2, 9) AS dist2 FROM ranked WHERE rank <= 5
 """,
     }

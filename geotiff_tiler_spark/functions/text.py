@@ -1,0 +1,194 @@
+"""Text analysis for web-scale training-data pipelines.
+
+Tokenization, k-gram shingles, language ID (stopword-hit heuristic),
+quality scoring (length/punct/stopword ratios), token counting, and
+document fingerprinting — each as a JVM-side Column expression with a
+DuckDB-SQL twin generated from the same constants (single source of
+truth for the correctness oracle).
+
+Tokenizer contract (pinned for byte-stable results): trim, split on
+runs of whitespace, drop empty tokens. No lowercasing, no unicode
+normalization — determinism over linguistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.functions.hashing import HEX_WIDTH
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + frozen: the operator contract is
+# "argmax of stopword hits with deterministic tie-break", not accuracy.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "fr": ("le", "la", "et", "de", "un", "une", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu"),
+    "es": ("el", "la", "y", "de", "un", "una", "es"),
+}
+LANG_ORDER = ("en", "fr", "de", "es")  # tie-break: first wins
+
+PUNCT_CLASS = r"[^.!?,;:]"  # chars deleted when counting punctuation
+
+
+def _c(col) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# --- tokens -----------------------------------------------------------------
+
+
+def tokens(text_col) -> Column:
+    """Whitespace tokens, empties dropped."""
+    arr = F.split(F.trim(_c(text_col)), r"\s+")
+    return F.filter(arr, lambda x: x != F.lit(""))
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(string_split_regex(trim({expr}), '\\s+'), x -> x <> '')"
+
+
+def token_count(text_col) -> Column:
+    return F.size(tokens(text_col)).cast("bigint")
+
+
+def token_count_sql(expr: str) -> str:
+    return f"CAST(len({tokens_sql(expr)}) AS BIGINT)"
+
+
+# --- shingles ---------------------------------------------------------------
+
+
+def shingles(text_col, k: int) -> Column:
+    """Word k-gram shingles joined by single spaces; [] when < k tokens."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+
+
+def shingles_sql(expr: str, k: int) -> str:
+    toks = tokens_sql(expr)
+    return (
+        f"list_transform(generate_series(1, GREATEST(len({toks}) - {k - 1}, 0)), "
+        f"i -> array_to_string(list_slice({toks}, i, i + {k - 1}), ' '))"
+    )
+
+
+# --- quality ----------------------------------------------------------------
+
+
+def quality_metrics(df, text_col: str = "text"):
+    """Attach quality-scoring columns (all exact-arithmetic, oracle-safe).
+
+    n_chars_m: string length; n_tokens; punct_cnt; stop_cnt (English
+    stopword hits); mean_tok_len = (chars in tokens)/n_tokens;
+    quality flag: 5 <= n_tokens and stopword ratio >= 0.01.
+    """
+    t = _c(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("bigint")
+    punct = (
+        F.length(t) - F.length(F.regexp_replace(t, r"[.!?,;:]", ""))
+    ).cast("bigint")
+    stops = list(STOPWORDS["en"])
+    stop_cnt = F.size(F.filter(toks, lambda x: x.isin(stops))).cast("bigint")
+    tok_chars = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("punct_cnt", punct)
+        .withColumn("stop_cnt", stop_cnt)
+        .withColumn("tok_chars", tok_chars)
+        .withColumn(
+            "stop_ratio",
+            F.when(n_tok > 0, stop_cnt.cast("double") / n_tok).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "is_quality",
+            (F.col("n_tokens") >= 5) & (F.col("stop_ratio") >= 0.01),
+        )
+    )
+
+
+def quality_metrics_sql(expr: str = "text") -> dict[str, str]:
+    toks = tokens_sql(expr)
+    stops = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+    n_tok = f"CAST(len({toks}) AS BIGINT)"
+    stop_cnt = f"CAST(len(list_filter({toks}, x -> x IN ({stops}))) AS BIGINT)"
+    return {
+        "n_tokens": n_tok,
+        "punct_cnt": (
+            f"CAST(length({expr}) - length(regexp_replace({expr}, '[.!?,;:]', '', 'g')) AS BIGINT)"
+        ),
+        "stop_cnt": stop_cnt,
+        "tok_chars": f"CAST(list_sum(list_transform({toks}, x -> length(x))) AS BIGINT)",
+        "stop_ratio": (
+            f"CASE WHEN {n_tok} > 0 THEN {stop_cnt}::DOUBLE / {n_tok} ELSE 0.0 END"
+        ),
+    }
+
+
+# --- language id ------------------------------------------------------------
+
+
+def lang_scores(text_col) -> dict[str, Column]:
+    """Per-language stopword-hit counts."""
+    toks = tokens(text_col)
+    return {
+        lang: F.size(F.filter(toks, lambda x: x.isin(list(words)))).cast("bigint")
+        for lang, words in STOPWORDS.items()
+    }
+
+
+def predict_lang(text_col) -> Column:
+    """argmax of stopword hits: first lang in LANG_ORDER with the max score;
+    'und' when all scores are 0."""
+    scores = lang_scores(text_col)
+    max_s = F.greatest(*[scores[lang] for lang in LANG_ORDER])
+    out = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        out = F.when(scores[lang] == max_s, F.lit(lang)).otherwise(out)
+    return F.when(max_s == 0, F.lit("und")).otherwise(out)
+
+
+def predict_lang_sql(expr: str) -> str:
+    toks = tokens_sql(expr)
+    score = {}
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        score[lang] = f"CAST(len(list_filter({toks}, x -> x IN ({lst}))) AS BIGINT)"
+    max_s = "GREATEST(" + ", ".join(score[lang] for lang in LANG_ORDER) + ")"
+    branches = " ".join(
+        f"WHEN {score[lang]} = {max_s} THEN '{lang}'" for lang in LANG_ORDER
+    )
+    return f"CASE WHEN {max_s} = 0 THEN 'und' {branches} ELSE 'und' END"
+
+
+# --- fingerprint ------------------------------------------------------------
+
+
+def doc_fingerprint(text_col, k: int = 3, seed: int = 0) -> Column:
+    """Document fingerprint: min seeded-hash over word k-gram shingles.
+
+    The min-hash of the shingle set — a 1-permutation sketch usable as a
+    near-dup blocking key; NULL-free: empty shingle set -> hash of ''.
+    """
+    sh = shingles(text_col, k)
+    hashed = F.transform(
+        sh,
+        lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), s)), 1, HEX_WIDTH), 16, 10
+        ).cast("bigint"),
+    )
+    return F.coalesce(F.array_min(hashed), F.lit(0).cast("bigint"))
+
+
+def doc_fingerprint_sql(expr: str, k: int = 3, seed: int = 0) -> str:
+    sh = shingles_sql(expr, k)
+    return (
+        f"COALESCE(list_min(list_transform({sh}, "
+        f"s -> ('0x' || substr(md5('{seed}:' || s), 1, {HEX_WIDTH}))::BIGINT)), 0)"
+    )

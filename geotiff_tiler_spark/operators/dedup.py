@@ -1,0 +1,228 @@
+"""Deduplication operators for web-scale corpora.
+
+Exact (hash-groupBy), MinHash+LSH (shingle -> minhash -> band -> bucket
+join), SimHash, and exact n-gram Jaccard verification — the standard
+training-data dedup ladder, expressed as Spark DataFrame plans:
+
+- every sketch is computed with JVM-side array lambdas
+  (transform/aggregate/filter over `shingles`) — no Python in the hot path;
+- candidate generation is an equi-join on (band, bucket) — a plain
+  shuffle hash join Catalyst can plan, skew-handled by AQE;
+- exact verification (Jaccard) runs only on candidate pairs (filter-refine,
+  the same shape as the spatial filter/refine joins in spatial_join.py).
+
+At 100 TB the LSH band join is the only shuffle whose fan-out matters:
+bucket keys are 60-bit hashes of full band signatures, so bucket skew only
+occurs for genuinely duplicated content — exactly the rows that must meet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.functions import text as T
+from geotiff_tiler_spark.functions.hashing import HEX_WIDTH
+
+# Default MinHash family: 16 permutations in 4 bands of 4 rows.
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+SHINGLE_K = 3
+SIMHASH_BITS = 32
+
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact dedup: md5-group; canonical row = min doc_id per group.
+
+    Output: one row per distinct text with group size and canonical id —
+    a single partial+final hash aggregate (map-side combined).
+    """
+    return docs.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
+        F.count(F.lit(1)).alias("dup_cnt"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+
+
+def _seeded_shingle_hash(shingle_col, seed: int):
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), shingle_col)), 1, HEX_WIDTH),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def minhash_signature(
+    docs: DataFrame,
+    text_col: str = "text",
+    num_hashes: int = NUM_HASHES,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Per-doc MinHash signature: sig[i] = min over shingles of h_i(shingle).
+
+    h_i is the seeded portable hash (independent family via seed prefix).
+    Docs with < k tokens get an empty shingle set -> sentinel signature of
+    hash('') per seed (stable, join-safe).
+    Columns: doc_id, mh_0 .. mh_{n-1}.
+    """
+    def _hasher(seed: int):
+        # NB: must be a SINGLE-parameter lambda — pyspark passes the array
+        # index as a second argument to 2-arg transform lambdas.
+        return lambda s: _seeded_shingle_hash(s, seed)
+
+    sh = T.shingles(text_col, k)
+    out = docs.withColumn("_sh", sh)
+    for i in range(num_hashes):
+        hashed = F.transform(F.col("_sh"), _hasher(i))
+        sentinel = _seeded_shingle_hash(F.lit(""), i)
+        out = out.withColumn(f"mh_{i}", F.coalesce(F.array_min(hashed), sentinel))
+    return out.drop("_sh")
+
+
+def lsh_buckets(
+    sigs: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> DataFrame:
+    """Band the signature: bucket key = portable hash of the band's values.
+
+    Output: (doc_id, band, bucket) — `bands` rows per doc via a stack-style
+    union of narrow projections (no shuffle until the bucket join).
+    """
+    parts = []
+    for b in range(bands):
+        cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        key = F.conv(
+            F.substring(F.md5(F.concat_ws("_", *cols)), 1, HEX_WIDTH), 16, 10
+        ).cast("bigint")
+        parts.append(
+            sigs.select(
+                F.col("doc_id"),
+                F.lit(b).alias("band"),
+                key.alias("bucket"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Docs sharing any (band, bucket): distinct candidate pairs a < b.
+
+    Self-equi-join on the bucket key — Catalyst shuffle hash join; the
+    a < b predicate halves the output and removes self-pairs.
+    """
+    l = buckets.alias("l")
+    r = buckets.alias("r")
+    return (
+        l.join(r, ["band", "bucket"])
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs (the refine stage).
+
+    |A ∩ B| via an equi-join of exploded DISTINCT shingles; |A ∪ B| =
+    |A| + |B| - |A ∩ B|. Exact rational arithmetic (int/int division) so
+    the oracle hashes match without rounding.
+    """
+    sh = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.shingles(text_col, k))).alias("sh")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.withColumnRenamed("doc_id", "doc_a")
+    b = sh.withColumnRenamed("doc_id", "doc_b")
+    inter = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .fillna({"inter": 0})
+        .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+    )
+    union = F.col("n_a") + F.col("n_b") - F.col("inter")
+    jac = F.when(union > 0, F.col("inter").cast("double") / union).otherwise(F.lit(0.0))
+    return out.select("doc_a", "doc_b", "inter", "n_a", "n_b", jac.alias("jaccard"))
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash fingerprint: bit b set iff sum over tokens of ±1 (by bit b of
+    the token hash) is positive. Vectorized as one aggregate over the token
+    array per bit — all JVM expressions.
+
+    Output: doc_id, simhash (bigint), n_tokens.
+    """
+    toks = T.tokens(text_col)
+    hashed = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, HEX_WIDTH), 16, 10).cast("bigint"),
+    )
+    def _bit_merger(pw: int):
+        # exact bit test: bigint & 2^b (bitwise, no double-precision loss);
+        # factory keeps the merge lambda strictly 2-arg for F.aggregate
+        return lambda s, h: s + F.when(
+            h.bitwiseAND(F.lit(pw).cast("bigint")) != 0, 1
+        ).otherwise(-1)
+
+    out = docs.withColumn("_h", hashed)
+    acc = F.lit(0).cast("bigint")
+    for b in range(bits):
+        pw = 1 << b
+        bit_sum = F.aggregate(F.col("_h"), F.lit(0).cast("bigint"), _bit_merger(pw))
+        acc = acc + F.when(bit_sum > 0, F.lit(pw)).otherwise(F.lit(0)).cast("bigint")
+    return out.select(
+        "doc_id",
+        acc.alias("simhash"),
+        F.size(F.col("_h")).cast("bigint").alias("n_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins (oracle)
+# ---------------------------------------------------------------------------
+
+
+def minhash_sql_cols(expr: str = "text", num_hashes: int = NUM_HASHES, k: int = SHINGLE_K) -> list[str]:
+    sh = T.shingles_sql(expr, k)
+    cols = []
+    for i in range(num_hashes):
+        h = f"list_min(list_transform({sh}, s -> ('0x' || substr(md5('{i}:' || s), 1, {HEX_WIDTH}))::BIGINT))"
+        sentinel = f"('0x' || substr(md5('{i}:'), 1, {HEX_WIDTH}))::BIGINT"
+        cols.append(f"COALESCE({h}, {sentinel}) AS mh_{i}")
+    return cols
+
+
+def lsh_bucket_sql(band: int, rows_per_band: int = ROWS_PER_BAND) -> str:
+    cols = " || '_' || ".join(
+        f"mh_{band * rows_per_band + r}::VARCHAR" for r in range(rows_per_band)
+    )
+    return f"('0x' || substr(md5({cols}), 1, {HEX_WIDTH}))::BIGINT"
+
+
+def simhash_sql(expr: str = "text", bits: int = SIMHASH_BITS) -> str:
+    toks = T.tokens_sql(expr)
+    hashed = f"list_transform({toks}, t -> ('0x' || substr(md5(t), 1, {HEX_WIDTH}))::BIGINT)"
+    terms = []
+    for b in range(bits):
+        pw = 1 << b
+        bit_sum = (
+            f"list_sum(list_transform({hashed}, "
+            f"h -> CASE WHEN (h & {pw}) <> 0 THEN 1 ELSE -1 END))"
+        )
+        terms.append(f"CASE WHEN COALESCE({bit_sum}, 0) > 0 THEN {pw} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

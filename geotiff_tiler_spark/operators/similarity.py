@@ -1,0 +1,141 @@
+"""Similarity search over embedding columns (array<float>).
+
+- `cosine_topk`: brute-force cosine top-k — the exactness baseline. The
+  probe side (queries) is broadcast; the scan side streams, so the plan is
+  a broadcast nested-loop + per-query top-k (window row_number), no
+  all-pairs shuffle. At 100 TB the scan side stays partition-parallel and
+  AQE coalesces the small window shuffle.
+- `lsh_ann_topk`: the scale path — sign-bit LSH buckets (coordinate
+  hyperplanes) turn the nested loop into an equi-join on bucket id; recall
+  < 1 by construction, measured against the brute-force baseline.
+
+All vector math is JVM-side (`zip_with` + `aggregate` over doubles);
+no Python UDFs. Float inputs are widened to double BEFORE any product so
+Spark and the DuckDB oracle compute bit-identical sums (same sequential
+order), with a final round(6) absorbing any engine-internal summation
+difference.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+SIGN_BITS = 4  # 2^4 = 16 LSH buckets
+
+
+def _dot(a, b):
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame:
+    """cosine(a, b) rounded to 6 decimals; 0.0 when either norm is 0."""
+    d = _dot(F.col(a), F.col(b))
+    na, nb = _norm(F.col(a)), _norm(F.col(b))
+    cos = F.when((na > 0) & (nb > 0), d / (na * nb)).otherwise(F.lit(0.0))
+    return df.withColumn(out, F.round(cos, 6))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: queries = rows with id % query_mod == 0.
+
+    Output: (query_id, rank, neighbor_id, cosine); self-matches excluded;
+    ties broken by neighbor_id ascending (deterministic).
+    """
+    from pyspark.sql.window import Window
+
+    q = emb.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    joined = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = with_cosine(joined, "q_vec", "c_vec")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def sign_bucket(vec_col, bits: int = SIGN_BITS):
+    """LSH bucket id from the sign of the first `bits` coordinates."""
+    acc = F.lit(0)
+    for j in range(bits):
+        acc = acc + F.when(
+            F.element_at(F.col(vec_col) if isinstance(vec_col, str) else vec_col, j + 1)
+            > 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+    return acc.cast("bigint")
+
+
+def lsh_ann_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_mod: int = 25,
+    bits: int = SIGN_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k restricted to the query's LSH bucket (equi-join scale path)."""
+    from pyspark.sql.window import Window
+
+    bucketed = emb.withColumn("bucket", sign_bucket(vec_col, bits))
+    q = bucketed.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"), "bucket"
+    )
+    c = bucketed.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"), "bucket"
+    )
+    joined = q.join(c, "bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = with_cosine(joined, "q_vec", "c_vec")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL twins
+# ---------------------------------------------------------------------------
+
+
+def dot_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    return (
+        f"list_sum(list_transform(generate_series(1, {dim}), "
+        f"i -> ({a}[i]::DOUBLE) * ({b}[i]::DOUBLE)))"
+    )
+
+
+def cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
+    d = dot_sql(a, b, dim)
+    na = f"sqrt({dot_sql(a, a, dim)})"
+    nb = f"sqrt({dot_sql(b, b, dim)})"
+    return (
+        f"ROUND(CASE WHEN {na} > 0 AND {nb} > 0 THEN ({d}) / ({na} * {nb}) "
+        f"ELSE 0.0 END, 6)"
+    )
+
+
+def sign_bucket_sql(vec: str, bits: int = SIGN_BITS) -> str:
+    terms = [f"CASE WHEN {vec}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"

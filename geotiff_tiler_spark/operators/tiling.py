@@ -56,7 +56,7 @@ class TilingParams:
     def tiles_per_image(self) -> int:
         """ceil(W/s) * ceil(H/s) — reference val.py:93-95."""
         s = self.eff_stride
-        return -(-self.width // s) * (-(-self.height) // s)
+        return -(-self.width // s) * -(-self.height // s)
 
 
 def doc_points(docs: DataFrame, params: TilingParams, text_col: str = "text") -> DataFrame:

@@ -1,0 +1,91 @@
+"""Synthetic vector label layer (the reference's GeoDataFrame analog).
+
+The reference loads vector labels from GPKG into a GeoDataFrame
+(reference io.py:76-120). With no external data allowed, the engine
+synthesizes a deterministic label layer from a driver-provided table:
+each supplier row becomes one axis-aligned box feature (rectangles are
+the oracle-checkable subset of polygons — point-in-box is pure SQL).
+Classes follow the reference's default class set
+(reference tiler.py:166-172: fore/hydro/road/building).
+
+General (non-rectangular) polygons are exercised by the numpy STRtree
+path in operators/spatial_join.py with a pytest brute-force oracle —
+SQL can't express ray casting, so those stay out of the DuckDB contract.
+
+Every formula is portable arithmetic on the portable hash, identical in
+Spark / DuckDB / numpy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.functions.hashing import portable_hash64
+
+CLASSES = ("fore", "hydro", "road", "building")
+# box geometry knobs (degrees)
+MAX_W = 8.0
+MAX_H = 6.0
+MIN_WH = 0.5
+
+
+def label_boxes(supplier: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
+    """One box feature per supplier row.
+
+    Columns: feature_id, class, xmin, ymin, xmax, ymax (lon/lat degrees).
+    Center from hash('bx:'|key) / hash('by:'|key); width/height from
+    hash('bw:'|key) / hash('bh:'|key) in [MIN_WH, MIN_WH+MAX_W/H).
+    """
+    key = F.col(key_col).cast("string")
+    u = lambda tag: (
+        portable_hash64(F.concat(F.lit(tag + ":"), key)) % F.lit(1 << 32)
+    ).cast("double") / F.lit(float(1 << 32))
+    cx = u("bx") * F.lit(360.0) - F.lit(180.0)
+    cy = u("by") * F.lit(180.0) - F.lit(90.0)
+    w = u("bw") * F.lit(MAX_W) + F.lit(MIN_WH)
+    h = u("bh") * F.lit(MAX_H) + F.lit(MIN_WH)
+    cls_idx = (portable_hash64(F.concat(F.lit("bc:"), key)) % F.lit(4)).cast("int")
+    cls = (
+        F.when(cls_idx == 0, CLASSES[0])
+        .when(cls_idx == 1, CLASSES[1])
+        .when(cls_idx == 2, CLASSES[2])
+        .otherwise(CLASSES[3])
+    )
+    return supplier.select(
+        F.col(key_col).cast("bigint").alias("feature_id"),
+        cls.alias("class"),
+        (cx - w / 2).alias("xmin"),
+        (cy - h / 2).alias("ymin"),
+        (cx + w / 2).alias("xmax"),
+        (cy + h / 2).alias("ymax"),
+    )
+
+
+def label_boxes_sql(key_expr: str = "s_suppkey", table: str = "supplier") -> str:
+    """DuckDB CTE body producing the identical box table."""
+
+    def u(tag: str) -> str:
+        return (
+            f"((('0x' || substr(md5('{tag}:' || {key_expr}::VARCHAR), 1, 15))::BIGINT"
+            f" % 4294967296)::DOUBLE / 4294967296.0)"
+        )
+
+    cx = f"({u('bx')} * 360.0 - 180.0)"
+    cy = f"({u('by')} * 180.0 - 90.0)"
+    w = f"({u('bw')} * {MAX_W} + {MIN_WH})"
+    h = f"({u('bh')} * {MAX_H} + {MIN_WH})"
+    cls_idx = f"(('0x' || substr(md5('bc:' || {key_expr}::VARCHAR), 1, 15))::BIGINT % 4)"
+    cls = (
+        f"CASE {cls_idx} WHEN 0 THEN '{CLASSES[0]}' WHEN 1 THEN '{CLASSES[1]}' "
+        f"WHEN 2 THEN '{CLASSES[2]}' ELSE '{CLASSES[3]}' END"
+    )
+    return f"""
+SELECT CAST({key_expr} AS BIGINT) AS feature_id,
+       {cls} AS class,
+       {cx} - {w} / 2 AS xmin,
+       {cy} - {h} / 2 AS ymin,
+       {cx} + {w} / 2 AS xmax,
+       {cy} + {h} / 2 AS ymax
+FROM {table}
+"""
