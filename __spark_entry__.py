@@ -477,6 +477,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
+
+
+def _q10_oracle() -> str:
+    sig_cols = ",\n         ".join(dedup.minhash_sql_cols())
+    return f"""
+WITH sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM documents
+)
+SELECT doc_id, mh_0, mh_7, mh_15 FROM sigs
+"""
+
+
+def _q11_oracle() -> str:
+    sig_cols = ",\n         ".join(dedup.minhash_sql_cols())
+    bands_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, {dedup.lsh_bucket_sql(b)} AS bucket FROM sigs"
+        for b in range(dedup.BANDS)
+    )
+    sh_sql = T.shingles_sql("text", dedup.SHINGLE_K)
+    return f"""
+WITH sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM documents
+),
+buckets AS (
+{bands_union}
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.doc_id < r.doc_id
+),
+sh AS (
+  SELECT doc_id, unnest(list_distinct({sh_sql})) AS sh FROM documents
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
+  FROM pairs p
+  JOIN sh a ON a.doc_id = p.doc_a
+  JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
+  GROUP BY 1, 2
+)
+SELECT p.doc_a, p.doc_b, COALESCE(i.inter, 0) AS inter,
+       sa.n_sh AS n_a, sb.n_sh AS n_b,
+       CASE WHEN sa.n_sh + sb.n_sh - COALESCE(i.inter, 0) > 0
+            THEN COALESCE(i.inter, 0)::DOUBLE / (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0))
+            ELSE 0.0 END AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     p = P
     s = p.eff_stride
@@ -565,85 +623,8 @@ WITH groups AS (
 SELECT dup_cnt, COUNT(*) AS n_groups, MIN(canonical_doc) AS min_canonical
 FROM groups GROUP BY dup_cnt
 """,
-        "q10_minhash_sig": """
-WITH sigs AS (
-  SELECT doc_id,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('0:'), 1, 15))::BIGINT) AS mh_0,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('1:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('1:'), 1, 15))::BIGINT) AS mh_1,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('2:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('2:'), 1, 15))::BIGINT) AS mh_2,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('3:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('3:'), 1, 15))::BIGINT) AS mh_3,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('4:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('4:'), 1, 15))::BIGINT) AS mh_4,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('5:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('5:'), 1, 15))::BIGINT) AS mh_5,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('6:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('6:'), 1, 15))::BIGINT) AS mh_6,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('7:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('7:'), 1, 15))::BIGINT) AS mh_7,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('8:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('8:'), 1, 15))::BIGINT) AS mh_8,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('9:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('9:'), 1, 15))::BIGINT) AS mh_9,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('10:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('10:'), 1, 15))::BIGINT) AS mh_10,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('11:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('11:'), 1, 15))::BIGINT) AS mh_11,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('12:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('12:'), 1, 15))::BIGINT) AS mh_12,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('13:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('13:'), 1, 15))::BIGINT) AS mh_13,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('14:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('14:'), 1, 15))::BIGINT) AS mh_14,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('15:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('15:'), 1, 15))::BIGINT) AS mh_15
-  FROM documents
-)
-SELECT doc_id, mh_0, mh_7, mh_15 FROM sigs
-""",
-        "q11_lsh_jaccard": """
-WITH sigs AS (
-  SELECT doc_id,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('0:'), 1, 15))::BIGINT) AS mh_0,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('1:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('1:'), 1, 15))::BIGINT) AS mh_1,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('2:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('2:'), 1, 15))::BIGINT) AS mh_2,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('3:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('3:'), 1, 15))::BIGINT) AS mh_3,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('4:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('4:'), 1, 15))::BIGINT) AS mh_4,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('5:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('5:'), 1, 15))::BIGINT) AS mh_5,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('6:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('6:'), 1, 15))::BIGINT) AS mh_6,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('7:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('7:'), 1, 15))::BIGINT) AS mh_7,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('8:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('8:'), 1, 15))::BIGINT) AS mh_8,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('9:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('9:'), 1, 15))::BIGINT) AS mh_9,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('10:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('10:'), 1, 15))::BIGINT) AS mh_10,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('11:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('11:'), 1, 15))::BIGINT) AS mh_11,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('12:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('12:'), 1, 15))::BIGINT) AS mh_12,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('13:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('13:'), 1, 15))::BIGINT) AS mh_13,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('14:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('14:'), 1, 15))::BIGINT) AS mh_14,
-         COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('15:' || s), 1, 15))::BIGINT)), ('0x' || substr(md5('15:'), 1, 15))::BIGINT) AS mh_15
-  FROM documents
-),
-buckets AS (
-  SELECT doc_id, 0 AS band, ('0x' || substr(md5(mh_0::VARCHAR || '_' || mh_1::VARCHAR || '_' || mh_2::VARCHAR || '_' || mh_3::VARCHAR), 1, 15))::BIGINT AS bucket FROM sigs
-  UNION ALL
-  SELECT doc_id, 1 AS band, ('0x' || substr(md5(mh_4::VARCHAR || '_' || mh_5::VARCHAR || '_' || mh_6::VARCHAR || '_' || mh_7::VARCHAR), 1, 15))::BIGINT AS bucket FROM sigs
-  UNION ALL
-  SELECT doc_id, 2 AS band, ('0x' || substr(md5(mh_8::VARCHAR || '_' || mh_9::VARCHAR || '_' || mh_10::VARCHAR || '_' || mh_11::VARCHAR), 1, 15))::BIGINT AS bucket FROM sigs
-  UNION ALL
-  SELECT doc_id, 3 AS band, ('0x' || substr(md5(mh_12::VARCHAR || '_' || mh_13::VARCHAR || '_' || mh_14::VARCHAR || '_' || mh_15::VARCHAR), 1, 15))::BIGINT AS bucket FROM sigs
-),
-pairs AS (
-  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM buckets l JOIN buckets r ON l.band = r.band AND l.bucket = r.bucket
-  WHERE l.doc_id < r.doc_id
-),
-sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')))) AS sh FROM documents
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
-inter AS (
-  SELECT p.doc_a, p.doc_b, COUNT(*) AS inter
-  FROM pairs p
-  JOIN sh a ON a.doc_id = p.doc_a
-  JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
-  GROUP BY 1, 2
-)
-SELECT p.doc_a, p.doc_b, COALESCE(i.inter, 0) AS inter,
-       sa.n_sh AS n_a, sb.n_sh AS n_b,
-       CASE WHEN sa.n_sh + sb.n_sh - COALESCE(i.inter, 0) > 0
-            THEN COALESCE(i.inter, 0)::DOUBLE / (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0))
-            ELSE 0.0 END AS jaccard
-FROM pairs p
-LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-JOIN sizes sa ON sa.doc_id = p.doc_a
-JOIN sizes sb ON sb.doc_id = p.doc_b
-""",
+        "q10_minhash_sig": _q10_oracle(),
+        "q11_lsh_jaccard": _q11_oracle(),
         "q12_simhash": """
 SELECT doc_id,
        CAST(CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 64) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 64 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 128) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 128 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 256) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 256 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 512) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 512 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1024) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1024 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2048) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2048 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4096) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4096 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8192) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8192 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16384) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16384 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32768) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32768 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 65536) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 65536 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 131072) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 131072 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 262144) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 262144 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 524288) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 524288 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1048576) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1048576 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2097152) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2097152 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4194304) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4194304 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8388608) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8388608 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16777216) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16777216 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 33554432) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 33554432 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 67108864) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 67108864 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 134217728) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 134217728 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 268435456) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 268435456 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 536870912) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 536870912 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1073741824) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1073741824 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2147483648) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2147483648 ELSE 0 END AS BIGINT) AS simhash,

@@ -1,0 +1,87 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "rows": {...}, "throughput_rows_per_sec": ...}
+
+Environment knobs:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+
+The headline set covers the engine's load-bearing paths: the flagship
+tiling pipeline, spatial joins, exact kNN, the dedup ladder, similarity
+search, and the relational agg/join/window family.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from geotiff_tiler_spark.session import get_spark  # noqa: E402
+
+# queries included in the headline benchmark (name -> included in bench)
+HEADLINE = [
+    "q03_tile_assign",
+    "q04_patch_filter",
+    "q05_split_assign",
+    "q08_spatial_grid",
+    "q10_minhash_sig",
+    "q11_lsh_jaccard",
+    "q12_simhash",
+    "q16_cosine_topk",
+    "q17_ann_lsh",
+    "q18_pricing_summary",
+    "q19_top_customers",
+    "q20_events_window",
+    "q22_bounds_overlap",
+    "q23_point_in_box",
+    "q24_knn",
+]
+
+
+def run(sf_dir: str, cpus: int, runs: int = 1) -> dict:
+    spark = get_spark(
+        app_name=f"bench-local[{cpus}]",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+    )
+    qs = entrymod.queries()
+    timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    # JVM/codegen warmup on a trivial action
+    spark.range(1000).count()
+    total_t0 = time.time()
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        n = 0
+        for _ in range(runs):
+            df = fn(spark, sf_dir)
+            n = df.count()
+        timings[name] = round((time.time() - t0) / runs, 3)
+        rows[name] = n
+    total = round(time.time() - total_t0, 3)
+    spark.stop()
+    out_rows = sum(rows.values())
+    return {
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "cpus": cpus,
+        "rows": rows,
+        "output_rows": out_rows,
+        "throughput_rows_per_sec": round(out_rows / total, 1) if total > 0 else None,
+    }
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    print(json.dumps(run(sf_dir, cpus)))

@@ -44,12 +44,34 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _seeded_shingle_hash(shingle_col, seed: int):
-    return F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), shingle_col)), 1, HEX_WIDTH),
-        16,
-        10,
-    ).cast("bigint")
+# Universal-hash permutation family: h_i(s) = (A_i * base(s) + B_i) mod P,
+# where base(s) is ONE portable md5-derived hash reduced mod P — the
+# standard one-digest minhash construction. The expensive md5 runs once per
+# shingle; each of the 16 permutations is two integer ops. A_i/B_i are
+# frozen constants derived from md5 so Spark / DuckDB / numpy agree without
+# shared state. P = 2^31 - 1 keeps A*h + B < 2^62 (no int64 overflow).
+MINHASH_P = 2147483647
+
+
+def _perm_consts(num_hashes: int = NUM_HASHES) -> list[tuple[int, int]]:
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        a = int(hashlib.md5(f"mh-a:{i}".encode()).hexdigest()[:HEX_WIDTH], 16) % (
+            MINHASH_P - 1
+        ) + 1
+        b = int(hashlib.md5(f"mh-b:{i}".encode()).hexdigest()[:HEX_WIDTH], 16) % MINHASH_P
+        out.append((a, b))
+    return out
+
+
+PERM_CONSTS = _perm_consts()
+
+import hashlib as _hashlib  # noqa: E402
+
+# base hash of the sentinel '' shingle (used for empty shingle sets)
+EMPTY_BASE = int(_hashlib.md5(b"").hexdigest()[:HEX_WIDTH], 16) % MINHASH_P
 
 
 def minhash_signature(
@@ -60,23 +82,29 @@ def minhash_signature(
 ) -> DataFrame:
     """Per-doc MinHash signature: sig[i] = min over shingles of h_i(shingle).
 
-    h_i is the seeded portable hash (independent family via seed prefix).
-    Docs with < k tokens get an empty shingle set -> sentinel signature of
-    hash('') per seed (stable, join-safe).
+    Plan shape (the scale-critical part): explode shingles (narrow), ONE md5
+    per shingle, then a single partial+final hash aggregate computing all
+    `num_hashes` mins at once — the shuffle carries only pre-aggregated
+    per-doc signature rows. Docs with an empty shingle set get the sentinel
+    signature h_i('') via a left join + coalesce.
     Columns: doc_id, mh_0 .. mh_{n-1}.
     """
-    def _hasher(seed: int):
-        # NB: must be a SINGLE-parameter lambda — pyspark passes the array
-        # index as a second argument to 2-arg transform lambdas.
-        return lambda s: _seeded_shingle_hash(s, seed)
-
-    sh = T.shingles(text_col, k)
-    out = docs.withColumn("_sh", sh)
-    for i in range(num_hashes):
-        hashed = F.transform(F.col("_sh"), _hasher(i))
-        sentinel = _seeded_shingle_hash(F.lit(""), i)
-        out = out.withColumn(f"mh_{i}", F.coalesce(F.array_min(hashed), sentinel))
-    return out.drop("_sh")
+    sh = docs.select(F.col("doc_id"), F.explode(T.shingles(text_col, k)).alias("_sh"))
+    base = (
+        F.conv(F.substring(F.md5(F.col("_sh")), 1, HEX_WIDTH), 16, 10).cast("bigint")
+        % F.lit(MINHASH_P)
+    )
+    hs = sh.select("doc_id", base.alias("_h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MINHASH_P)).alias(f"mh_{i}")
+        for i, (a, b) in enumerate(PERM_CONSTS[:num_hashes])
+    ]
+    sig = hs.groupBy("doc_id").agg(*aggs)
+    out = docs.join(sig, "doc_id", "left")
+    for i, (a, b) in enumerate(PERM_CONSTS[:num_hashes]):
+        sentinel = (a * EMPTY_BASE + b) % MINHASH_P
+        out = out.withColumn(f"mh_{i}", F.coalesce(F.col(f"mh_{i}"), F.lit(sentinel)))
+    return out
 
 
 def lsh_buckets(
@@ -198,11 +226,16 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = SIMHASH_BITS) -
 
 
 def minhash_sql_cols(expr: str = "text", num_hashes: int = NUM_HASHES, k: int = SHINGLE_K) -> list[str]:
+    """DuckDB twin of `minhash_signature`: one md5 per shingle + affine family."""
     sh = T.shingles_sql(expr, k)
+    base_list = (
+        f"list_transform({sh}, s -> ('0x' || substr(md5(s), 1, {HEX_WIDTH}))::BIGINT"
+        f" % {MINHASH_P})"
+    )
     cols = []
-    for i in range(num_hashes):
-        h = f"list_min(list_transform({sh}, s -> ('0x' || substr(md5('{i}:' || s), 1, {HEX_WIDTH}))::BIGINT))"
-        sentinel = f"('0x' || substr(md5('{i}:'), 1, {HEX_WIDTH}))::BIGINT"
+    for i, (a, b) in enumerate(PERM_CONSTS[:num_hashes]):
+        h = f"list_min(list_transform({base_list}, h -> ({a} * h + {b}) % {MINHASH_P}))"
+        sentinel = (a * EMPTY_BASE + b) % MINHASH_P
         cols.append(f"COALESCE({h}, {sentinel}) AS mh_{i}")
     return cols
 

