@@ -427,6 +427,116 @@ def q24_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.withColumn("dist2", F.round(F.col("dist2"), 9))
 
 
+
+
+def q25_target_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5: global target distribution = mean of per-image class fractions
+    (reference tiler.py:246-248)."""
+    pts = tiling.doc_points(_docs(spark, sf_dir), P)
+    per = pts.groupBy("image_id", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = pts.groupBy("image_id").agg(F.count(F.lit(1)).alias("tot"))
+    fracs = per.join(tot, "image_id").select(
+        "image_id", "lang", (F.col("cnt").cast("double") / F.col("tot")).alias("frac")
+    )
+    return fracs.groupBy("lang").agg(
+        F.round(F.avg("frac"), 9).alias("target_frac"),
+        F.count(F.lit(1)).alias("n_images"),
+    )
+
+
+def q26_split_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A10: split-ratio drift detection + correction
+    (reference tiling_manifest.py:544-569): drift if |trn_ratio - 0.8| > 0.03;
+    corrected val_ratio = clamp(val_ratio +/- 0.05, 0.1, 0.3)."""
+    pts = tiling.doc_points(_docs(spark, sf_dir), P)
+    tiles = tiling.filter_patches(tiling.full_tile_grid(pts, P), P).filter("keep")
+    split = tiling.assign_split(tiles, P, validation_cells=None)
+    agg = split.agg(
+        F.sum(F.when(F.col("split") == "trn", 1).otherwise(0)).alias("trn"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    ratio = F.col("trn").cast("double") / F.col("total")
+    drift = F.abs(ratio - 0.8) > 0.03
+    corrected = F.when(
+        ratio > 0.8, F.least(F.lit(0.3), F.lit(P.val_ratio + 0.05))
+    ).otherwise(F.greatest(F.lit(0.1), F.lit(P.val_ratio - 0.05)))
+    return agg.select(
+        "trn",
+        "total",
+        F.round(ratio, 9).alias("trn_ratio"),
+        drift.alias("drift"),
+        F.when(drift, F.round(corrected, 6)).otherwise(F.lit(P.val_ratio)).alias("next_val_ratio"),
+    )
+
+
+def q27_patch_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: tile identity keys `{prefix}_{image}_{x}_{y}` (reference tiler.py:848)."""
+    pts = tiling.doc_points(_docs(spark, sf_dir), P)
+    tiles = tiling.filter_patches(tiling.full_tile_grid(pts, P), P).filter("keep")
+    keyed = tiling.patch_key(tiles, prefix="tiles")
+    return keyed.select("patch_key", "image_id", "tile_x", "tile_y")
+
+
+def q28_val_cells_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5/W6: greedy validation-cell selection (driver-side, reference
+    val.py:155-297). Not SQL-expressible (iterative argmin with state) ->
+    rows-only check; bit-parity covered by tests/test_stats.py."""
+    from geotiff_tiler_spark.operators import stats as _stats
+
+    pts = tiling.doc_points(_docs(spark, sf_dir), P)
+    grid_dists = _stats.grid_cell_distributions(pts, P)
+    target = _stats.target_distribution(_stats.class_distribution(pts))
+    cells = _stats.select_validation_cells_for_images(
+        grid_dists, P, target, P.val_ratio
+    )
+    rows = [
+        (img, ck) for img, cks in sorted(cells.items()) for ck in sorted(cks)
+    ]
+    return spark.createDataFrame(rows, "image_id long, cell_key string")
+
+
+def q29_affine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: affine pixel<->world transform roundtrip (reference
+    build_targets.py:22-29: px=(x-c)/a). world = c + px*a with the image
+    cell's transform; roundtrip must be identity on pixel centers."""
+    p = P
+    n = 1 << p.image_res
+    cw, ch = 360.0 / n, 180.0 / n
+    ax, ay = cw / p.width, ch / p.height  # degrees per pixel
+    pts = tiling.doc_points(_docs(spark, sf_dir), p)
+    ix = geo.unpack_ix("image_id")
+    iy = geo.unpack_iy("image_id")
+    cx = ix.cast("double") * cw - 180.0  # transform origin c
+    cy = iy.cast("double") * ch - 90.0
+    wx = cx + (F.col("px").cast("double") + 0.5) * ax  # pixel-center world x
+    wy = cy + (F.col("py").cast("double") + 0.5) * ay
+    px2 = F.floor((wx - cx) / ax).cast("bigint")
+    py2 = F.floor((wy - cy) / ay).cast("bigint")
+    out = pts.select(
+        "doc_id",
+        F.round(wx, 9).alias("world_x"),
+        F.round(wy, 9).alias("world_y"),
+        (px2 == F.col("px")).alias("x_roundtrip"),
+        (py2 == F.col("py")).alias("y_roundtrip"),
+    )
+    return out
+
+
+def q30_sliding_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 sliding variant (stride < patch): overlapping windows; a point
+    belongs to up to ceil(patch/stride)^2 tiles (reference stride semantics
+    tiler.py:779-780 with stride=56, patch=112)."""
+    p = TilingParams(
+        image_res=P.image_res, width=P.width, height=P.height,
+        patch_w=112, patch_h=112, stride=56, discard_empty=True,
+    )
+    pts = tiling.doc_points(_docs(spark, sf_dir), p)
+    assigned = tiling.assign_tiles(pts, p)
+    return tiling.tile_label_stats(assigned, p).select(
+        "image_id", "tile_x", "tile_y", "point_cnt", "nonzero_px"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -474,6 +584,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q22_bounds_overlap": q22_bounds_overlap,
         "q23_point_in_box": q23_point_in_box,
         "q24_knn": q24_knn,
+        "q25_target_distribution": q25_target_distribution,
+        "q26_split_drift": q26_split_drift,
+        "q27_patch_keys": q27_patch_keys,
+        "q28_val_cells_greedy": q28_val_cells_greedy,
+        "q29_affine_roundtrip": q29_affine_roundtrip,
+        "q30_sliding_tiles": q30_sliding_tiles,
     }
 
 
@@ -766,6 +882,88 @@ hits AS (
 SELECT class, COUNT(*) AS n_hits, COUNT(DISTINCT doc_id) AS n_docs,
        COUNT(DISTINCT feature_id) AS n_features
 FROM hits GROUP BY class
+""",
+        "q25_target_distribution": f"""
+WITH {_pts_cte()},
+per AS (SELECT image_id, lang, COUNT(*) AS cnt FROM pts GROUP BY 1, 2),
+tot AS (SELECT image_id, COUNT(*) AS tot FROM pts GROUP BY 1),
+fracs AS (
+  SELECT per.image_id, per.lang, per.cnt::DOUBLE / tot.tot AS frac
+  FROM per JOIN tot ON per.image_id = tot.image_id
+)
+SELECT lang, ROUND(AVG(frac), 9) AS target_frac, COUNT(*) AS n_images
+FROM fracs GROUP BY lang
+""",
+        "q26_split_drift": f"""
+WITH {_pts_cte()}, {_grid_cte()}, {_stats_cte()}, {_tiles_cte()},
+kept AS (SELECT * FROM tiles WHERE {_keep_sql()}),
+cells AS (
+  SELECT *,
+    LEAST(CAST(floor(tile_x / 112.0) AS BIGINT), 3) AS grid_x,
+    LEAST(CAST(floor(tile_y / 112.0) AS BIGINT), 3) AS grid_y
+  FROM kept
+),
+splits AS (
+  SELECT *,
+    CASE WHEN ('0x' || substr(md5(image_id::VARCHAR || '_' || grid_x::VARCHAR || '_' || grid_y::VARCHAR), 1, 15))::BIGINT % 100 < 20
+         THEN 'val' ELSE 'trn' END AS split
+  FROM cells
+),
+agg AS (
+  SELECT SUM(CASE WHEN split = 'trn' THEN 1 ELSE 0 END) AS trn, COUNT(*) AS total
+  FROM splits
+)
+SELECT trn, total, ROUND(trn::DOUBLE / total, 9) AS trn_ratio,
+       ABS(trn::DOUBLE / total - 0.8) > 0.03 AS drift,
+       CASE WHEN ABS(trn::DOUBLE / total - 0.8) > 0.03
+            THEN (CASE WHEN trn::DOUBLE / total > 0.8
+                       THEN ROUND(LEAST(0.3, 0.25), 6)
+                       ELSE ROUND(GREATEST(0.1, 0.15000000000000002), 6) END)
+            ELSE 0.2 END AS next_val_ratio
+FROM agg
+""",
+        "q27_patch_keys": f"""
+WITH {_pts_cte()}, {_grid_cte()}, {_stats_cte()}, {_tiles_cte()},
+kept AS (SELECT * FROM tiles WHERE {_keep_sql()})
+SELECT 'tiles' || '_' || image_id::VARCHAR || '_' || tile_x::VARCHAR || '_' || tile_y::VARCHAR AS patch_key,
+       image_id, tile_x, tile_y
+FROM kept
+""",
+        "q29_affine_roundtrip": f"""
+WITH {_pts_cte()},
+t AS (
+  SELECT doc_id, px, py,
+         CAST(floor(image_id % 18014398509481984 / 134217728) AS BIGINT)::DOUBLE * 45.0 - 180.0 AS cx,
+         (image_id % 134217728)::DOUBLE * 22.5 - 90.0 AS cy
+  FROM pts
+),
+w AS (
+  SELECT doc_id, px, py, cx, cy,
+         cx + (px::DOUBLE + 0.5) * 0.10044642857142858 AS wx,
+         cy + (py::DOUBLE + 0.5) * 0.05022321428571429 AS wy
+  FROM t
+)
+SELECT doc_id, ROUND(wx, 9) AS world_x, ROUND(wy, 9) AS world_y,
+       CAST(floor((wx - cx) / 0.10044642857142858) AS BIGINT) = px AS x_roundtrip,
+       CAST(floor((wy - cy) / 0.05022321428571429) AS BIGINT) = py AS y_roundtrip
+FROM w
+""",
+        "q30_sliding_tiles": f"""
+WITH {_pts_cte()},
+anch AS (
+  SELECT doc_id, image_id, px, py,
+         (CAST(floor(px / 56) AS BIGINT) - jx.j) * 56 AS tile_x,
+         (CAST(floor(py / 56) AS BIGINT) - jy.j2) * 56 AS tile_y
+  FROM pts, generate_series(0, 1) jx(j), generate_series(0, 1) jy(j2)
+),
+ok AS (
+  SELECT * FROM anch
+  WHERE tile_x >= 0 AND px < tile_x + 112 AND tile_x < 448
+    AND tile_y >= 0 AND py < tile_y + 112 AND tile_y < 448
+)
+SELECT image_id, tile_x, tile_y, COUNT(*) AS point_cnt,
+       COUNT(DISTINCT px * 1000000 + py) AS nonzero_px
+FROM ok GROUP BY 1, 2, 3
 """,
         "q24_knn": f"""
 WITH {_pts_cte()},

@@ -44,7 +44,12 @@ HEADLINE = [
 ]
 
 
-def run(sf_dir: str, cpus: int, runs: int = 1) -> dict:
+def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -> dict:
+    from geotiff_tiler_spark.plans.scale_job import run_scale_workload
+
+    scale_pages = scale_pages or int(
+        os.environ.get("SPARK_GRAFT_SCALE_PAGES", "400000")
+    )
     spark = get_spark(
         app_name=f"bench-local[{cpus}]",
         master=f"local[{cpus}]",
@@ -66,6 +71,9 @@ def run(sf_dir: str, cpus: int, runs: int = 1) -> dict:
         timings[name] = round((time.time() - t0) / runs, 3)
         rows[name] = n
     total = round(time.time() - total_t0, 3)
+    # the data-bound scale workload (synthesized pages table, BASELINE.json
+    # metric shape: tiles+join-rows/sec)
+    scale = run_scale_workload(spark, scale_pages)
     spark.stop()
     out_rows = sum(rows.values())
     return {
@@ -78,6 +86,8 @@ def run(sf_dir: str, cpus: int, runs: int = 1) -> dict:
         "rows": rows,
         "output_rows": out_rows,
         "throughput_rows_per_sec": round(out_rows / total, 1) if total > 0 else None,
+        "scale_workload": scale,
+        "tiles_join_rows_per_sec": scale["tiles_join_rows_per_sec"],
     }
 
 

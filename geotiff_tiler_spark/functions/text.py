@@ -61,11 +61,23 @@ def token_count_sql(expr: str) -> str:
 
 
 def shingles(text_col, k: int) -> Column:
-    """Word k-gram shingles joined by single spaces; [] when < k tokens."""
+    """Word k-gram shingles joined by single spaces; [] when < k tokens.
+
+    Implementation note (hot-path critical): a naive
+    ``transform(sequence(1, n-k+1), i -> array_join(slice(toks, i, k)))``
+    re-evaluates the tokenizer expression once PER ELEMENT (Catalyst inlines
+    the `toks` alias into the lambda), turning one regex split per row into
+    ~n splits per row. Building the k-grams as k whole-array slices zipped
+    element-wise keeps the tokenizer at k evaluations per row.
+    """
     toks = tokens(text_col)
-    n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    m = F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0))
+    out = F.slice(toks, 1, m)
+    for j in range(1, k):
+        out = F.zip_with(
+            out, F.slice(toks, j + 1, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return out
 
 
 def shingles_sql(expr: str, k: int) -> str:

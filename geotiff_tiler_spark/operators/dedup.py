@@ -112,26 +112,21 @@ def lsh_buckets(
 ) -> DataFrame:
     """Band the signature: bucket key = portable hash of the band's values.
 
-    Output: (doc_id, band, bucket) — `bands` rows per doc via a stack-style
-    union of narrow projections (no shuffle until the bucket join).
-    """
-    parts = []
+    Output: (doc_id, band, bucket) — `bands` rows per doc via ONE
+    posexplode over an array of band keys (a union of per-band projections
+    would recompute the signature subtree once per band and defeat
+    exchange reuse in the self-join downstream)."""
+    keys = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-        key = F.conv(
-            F.substring(F.md5(F.concat_ws("_", *cols)), 1, HEX_WIDTH), 16, 10
-        ).cast("bigint")
-        parts.append(
-            sigs.select(
-                F.col("doc_id"),
-                F.lit(b).alias("band"),
-                key.alias("bucket"),
-            )
+        keys.append(
+            F.conv(
+                F.substring(F.md5(F.concat_ws("_", *cols)), 1, HEX_WIDTH), 16, 10
+            ).cast("bigint")
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    return sigs.select(
+        "doc_id", F.posexplode(F.array(*keys)).alias("band", "bucket")
+    )
 
 
 def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:

@@ -1,0 +1,207 @@
+"""Numpy STRtree + WKB polygons + vectorized ray casting.
+
+The reference relies on geopandas/shapely's STRtree for candidate
+selection ("O(log n) candidate selection rather than iterating all
+features per patch", reference vector.py:36-62) and shapely for the exact
+intersects test. Neither library exists in this environment, so this
+module implements the two public, textbook algorithms from scratch on
+numpy:
+
+- Sort-Tile-Recursive bulk-loaded R-tree (Leutenegger et al. 1997):
+  leaves are packed by x-then-y tile order; internal levels are the
+  packed bounding boxes of their children.
+- Even-odd ray casting for point-in-polygon (with holes: a point is
+  inside iff it crosses an odd number of edges across all rings).
+
+Everything is float64 numpy; per-batch vectorized (points x edges), no
+per-row Python in the hot loop. Used inside Arrow-batched pandas UDFs —
+the "broadcast STRtree per cell" stage of the north star.
+
+WKB support: little-endian Polygon (3) / MultiPolygon (6), the subset the
+engine's synthetic label layers emit.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+LEAF_CAPACITY = 16
+
+
+class STRtree:
+    """Packed R-tree over boxes (n, 4) [xmin, ymin, xmax, ymax]."""
+
+    def __init__(self, boxes: np.ndarray, leaf_capacity: int = LEAF_CAPACITY):
+        boxes = np.asarray(boxes, dtype=np.float64).reshape(-1, 4)
+        n = len(boxes)
+        self.boxes = boxes
+        if n == 0:
+            self.order = np.empty(0, dtype=np.int64)
+            self.levels: list[np.ndarray] = []
+            self.cap = leaf_capacity
+            return
+        # STR packing: sort by center x, slice into sqrt(n/cap) vertical
+        # strips, sort each strip by center y
+        cx = (boxes[:, 0] + boxes[:, 2]) / 2
+        cy = (boxes[:, 1] + boxes[:, 3]) / 2
+        n_leaves = -(-n // leaf_capacity)
+        n_strips = max(1, int(np.ceil(np.sqrt(n_leaves))))
+        per_strip = n_strips * leaf_capacity
+        by_x = np.argsort(cx, kind="stable")
+        order = np.empty(n, dtype=np.int64)
+        for s in range(0, n, per_strip):
+            strip = by_x[s : s + per_strip]
+            order[s : s + len(strip)] = strip[np.argsort(cy[strip], kind="stable")]
+        self.order = order
+        self.cap = leaf_capacity
+        # build levels bottom-up: level[0] = leaf bboxes, each next level
+        # packs `cap` children
+        self.levels = []
+        cur = boxes[order]
+        while len(cur) > 1:
+            m = len(cur)
+            groups = -(-m // leaf_capacity)
+            lvl = np.empty((groups, 4), dtype=np.float64)
+            for g in range(groups):
+                chunk = cur[g * leaf_capacity : (g + 1) * leaf_capacity]
+                lvl[g, 0] = chunk[:, 0].min()
+                lvl[g, 1] = chunk[:, 1].min()
+                lvl[g, 2] = chunk[:, 2].max()
+                lvl[g, 3] = chunk[:, 3].max()
+            self.levels.append(lvl)
+            cur = lvl
+
+    def query_point(self, x: float, y: float) -> np.ndarray:
+        """Indices (into original boxes) whose box contains (x, y)."""
+        return self.query_box(x, y, x, y)
+
+    def query_box(self, xmin, ymin, xmax, ymax) -> np.ndarray:
+        """Indices of boxes intersecting the query box."""
+        n = len(self.boxes)
+        if n == 0:
+            return np.empty(0, dtype=np.int64)
+        # descend from top level; node ranges are contiguous in `order`
+        cand = np.array([0], dtype=np.int64)  # group ids at top level
+        for depth in range(len(self.levels) - 1, -1, -1):
+            lvl = self.levels[depth]
+            # children of group g at this level: indices g*cap..(g+1)*cap-1
+            child_ids = (cand[:, None] * self.cap + np.arange(self.cap)[None, :]).ravel()
+            child_ids = child_ids[child_ids < len(lvl)]
+            b = lvl[child_ids]
+            hit = (
+                (b[:, 0] <= xmax) & (b[:, 2] >= xmin) & (b[:, 1] <= ymax) & (b[:, 3] >= ymin)
+            )
+            cand = child_ids[hit]
+            if len(cand) == 0:
+                return np.empty(0, dtype=np.int64)
+        # cand are leaf-group ids -> expand to item positions in `order`
+        item_pos = (cand[:, None] * self.cap + np.arange(self.cap)[None, :]).ravel()
+        item_pos = item_pos[item_pos < n]
+        idx = self.order[item_pos]
+        b = self.boxes[idx]
+        hit = (b[:, 0] <= xmax) & (b[:, 2] >= xmin) & (b[:, 1] <= ymax) & (b[:, 3] >= ymin)
+        return idx[hit]
+
+
+# ---------------------------------------------------------------------------
+# WKB (little-endian Polygon / MultiPolygon)
+# ---------------------------------------------------------------------------
+
+
+def wkb_polygon(rings: list[np.ndarray]) -> bytes:
+    """Encode rings [(k,2) arrays, closed or open] as WKB Polygon."""
+    out = [struct.pack("<BI", 1, 3), struct.pack("<I", len(rings))]
+    for r in rings:
+        r = np.asarray(r, dtype=np.float64)
+        if not np.array_equal(r[0], r[-1]):
+            r = np.vstack([r, r[:1]])
+        out.append(struct.pack("<I", len(r)))
+        out.append(r.astype("<f8").tobytes())
+    return b"".join(out)
+
+
+def wkb_multipolygon(polys: list[list[np.ndarray]]) -> bytes:
+    out = [struct.pack("<BI", 1, 6), struct.pack("<I", len(polys))]
+    for rings in polys:
+        out.append(wkb_polygon(rings))
+    return b"".join(out)
+
+
+def parse_wkb(buf: bytes) -> list[list[np.ndarray]]:
+    """Decode WKB Polygon/MultiPolygon -> list of polygons (list of rings)."""
+
+    def _read_polygon(mv: memoryview, off: int):
+        (nrings,) = struct.unpack_from("<I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            (npts,) = struct.unpack_from("<I", mv, off)
+            off += 4
+            arr = np.frombuffer(mv, dtype="<f8", count=npts * 2, offset=off).reshape(
+                npts, 2
+            )
+            rings.append(arr.astype(np.float64))
+            off += npts * 16
+        return rings, off
+
+    mv = memoryview(buf)
+    byte_order, geom_type = struct.unpack_from("<BI", mv, 0)
+    if byte_order != 1:
+        raise ValueError("big-endian WKB not supported")
+    if geom_type == 3:
+        rings, _ = _read_polygon(mv, 5)
+        return [rings]
+    if geom_type == 6:
+        (npolys,) = struct.unpack_from("<I", mv, 5)
+        off = 9
+        polys = []
+        for _ in range(npolys):
+            bo, gt = struct.unpack_from("<BI", mv, off)
+            if gt != 3:
+                raise ValueError(f"nested geom type {gt}")
+            rings, off = _read_polygon(mv, off + 5)
+            polys.append(rings)
+        return polys
+    raise ValueError(f"unsupported geom type {geom_type}")
+
+
+def polygon_bbox(polys: list[list[np.ndarray]]) -> tuple[float, float, float, float]:
+    pts = np.vstack([r for rings in polys for r in rings])
+    return pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()
+
+
+# ---------------------------------------------------------------------------
+# Ray casting
+# ---------------------------------------------------------------------------
+
+
+def points_in_rings(xs: np.ndarray, ys: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd point-in-polygon for a batch of points, vectorized
+    (points x edges). Holes: odd total crossings across all rings == inside.
+    Boundary behavior follows the standard half-open crossing rule."""
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    inside = np.zeros(len(xs), dtype=bool)
+    for r in rings:
+        x1, y1 = r[:-1, 0], r[:-1, 1]
+        x2, y2 = r[1:, 0], r[1:, 1]
+        # edge straddles the horizontal line through y (half-open)
+        cond = (y1[None, :] <= ys[:, None]) != (y2[None, :] <= ys[:, None])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            xint = x1[None, :] + (ys[:, None] - y1[None, :]) / (
+                y2[None, :] - y1[None, :]
+            ) * (x2[None, :] - x1[None, :])
+        cross = cond & (xs[:, None] < xint)
+        inside ^= (cross.sum(axis=1) % 2).astype(bool)
+    return inside
+
+
+def points_in_wkb(xs: np.ndarray, ys: np.ndarray, wkb: bytes) -> np.ndarray:
+    """Point-in-(Multi)Polygon: inside any member polygon (even-odd holes)."""
+    polys = parse_wkb(wkb)
+    out = np.zeros(len(np.asarray(xs)), dtype=bool)
+    for rings in polys:
+        out |= points_in_rings(xs, ys, rings)
+    return out

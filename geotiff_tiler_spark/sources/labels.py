@@ -89,3 +89,60 @@ SELECT CAST({key_expr} AS BIGINT) AS feature_id,
        {cy} + {h} / 2 AS ymax
 FROM {table}
 """
+
+
+def label_polygons(spark, n: int = 60, seed: int = 42):
+    """Deterministic non-rectangular polygons for the general PIP path.
+
+    Mix of triangles, L-shapes, donuts (polygon with hole), and 2-part
+    multipolygons, sized like the boxes above. Columns:
+    (feature_id, class, wkb, xmin, ymin, xmax, ymax).
+    """
+    import numpy as np
+
+    from geotiff_tiler_spark.operators import strtree as st
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    for fid in range(n):
+        cx = float(rng.uniform(-170, 170))
+        cy = float(rng.uniform(-80, 80))
+        w = float(rng.uniform(1.0, MAX_W))
+        h = float(rng.uniform(1.0, MAX_H))
+        kind = fid % 4
+        if kind == 0:  # triangle
+            pts = np.array([[cx - w / 2, cy - h / 2], [cx + w / 2, cy - h / 2], [cx, cy + h / 2]])
+            wkb = st.wkb_polygon([pts])
+        elif kind == 1:  # L-shape
+            pts = np.array(
+                [
+                    [cx - w / 2, cy - h / 2],
+                    [cx + w / 2, cy - h / 2],
+                    [cx + w / 2, cy],
+                    [cx, cy],
+                    [cx, cy + h / 2],
+                    [cx - w / 2, cy + h / 2],
+                ]
+            )
+            wkb = st.wkb_polygon([pts])
+        elif kind == 2:  # donut: outer box + inner hole
+            outer = np.array(
+                [[cx - w / 2, cy - h / 2], [cx + w / 2, cy - h / 2], [cx + w / 2, cy + h / 2], [cx - w / 2, cy + h / 2]]
+            )
+            hole = np.array(
+                [[cx - w / 4, cy - h / 4], [cx + w / 4, cy - h / 4], [cx + w / 4, cy + h / 4], [cx - w / 4, cy + h / 4]]
+            )
+            wkb = st.wkb_polygon([outer, hole])
+        else:  # multipolygon: two disjoint triangles
+            t1 = np.array([[cx - w / 2, cy - h / 2], [cx - w / 6, cy - h / 2], [cx - w / 3, cy + h / 2]])
+            t2 = np.array([[cx + w / 6, cy - h / 2], [cx + w / 2, cy - h / 2], [cx + w / 3, cy + h / 2]])
+            wkb = st.wkb_multipolygon([[t1], [t2]])
+        polys = st.parse_wkb(bytes(wkb))
+        bx = st.polygon_bbox(polys)
+        rows.append(
+            (fid, CLASSES[fid % 4], bytearray(wkb), float(bx[0]), float(bx[1]), float(bx[2]), float(bx[3]))
+        )
+    return spark.createDataFrame(
+        rows,
+        "feature_id long, class string, wkb binary, xmin double, ymin double, xmax double, ymax double",
+    )

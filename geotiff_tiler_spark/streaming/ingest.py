@@ -1,0 +1,80 @@
+"""Streaming ingest: pages arriving by warc_ts -> the same idempotent tile
+pipeline (SURVEY §2.9 R8 — the reference is batch; this is the engine's
+streaming extension, built on public Structured Streaming primitives).
+
+Two modes:
+
+- `windowed_cell_counts`: pure streaming aggregation — tumbling event-time
+  windows over `warc_ts` with a watermark for late data, counting pages
+  per (window, image cell). Fully incremental, state bounded by the
+  watermark horizon.
+- `foreach_batch_tiler`: micro-batch bridge into the batch engine — each
+  micro-batch runs the SAME tiling stages and commits through the SAME
+  manifest, so exactly-once per tile comes from the manifest anti-join
+  (identical to the reference's is_patch_completed check,
+  tiler.py:781-784), not from sink-specific transactions. A replayed
+  micro-batch is a no-op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.operators import tiling
+from geotiff_tiler_spark.operators.tiling import TilingParams
+from geotiff_tiler_spark.plans.manifest import Manifest
+
+
+def read_pages_stream(spark, path: str) -> DataFrame:
+    """File-source stream of the pages shape (new files appear -> new rows)."""
+    schema = (
+        "doc_id long, url string, warc_ts timestamp, html binary, "
+        "text string, lang string"
+    )
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_cell_counts(
+    pages: DataFrame,
+    params: TilingParams,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling event-time window x image-cell page counts with late-data
+    handling (watermark bounds the state store)."""
+    pts = tiling.doc_points(pages, params)
+    return (
+        pts.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("image_id"))
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "image_id",
+            "n_pages",
+        )
+    )
+
+
+def foreach_batch_tiler(params: TilingParams, out_dir: str, manifest_dir: str):
+    """Returns a foreachBatch function running the idempotent tile commit."""
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        manifest = Manifest(spark, manifest_dir)
+        pts = tiling.doc_points(batch_df, params)
+        tiles = tiling.filter_patches(
+            tiling.full_tile_grid(pts, params), params
+        ).filter("keep")
+        split = tiling.assign_split(tiles, params, validation_cells=None)
+        work = split.select(
+            "image_id", "tile_x", "tile_y", "split", "point_cnt", "nonzero_px"
+        )
+        pending = manifest.filter_pending(work)
+        if pending.isEmpty():
+            return
+        pending.write.mode("append").partitionBy("split").parquet(f"{out_dir}/tiles")
+        manifest.append("patches", pending)
+
+    return _process

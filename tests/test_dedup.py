@@ -1,0 +1,99 @@
+"""Dedup sketches vs pure-Python oracles (independent implementations)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.operators import dedup
+
+
+def py_tokens(text):
+    return [t for t in text.strip().split() if t]
+
+
+def py_shingles(text, k=3):
+    toks = py_tokens(text)
+    return [" ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))]
+
+
+def py_base_hash(s):
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % dedup.MINHASH_P
+
+
+def py_minhash(text, i):
+    a, b = dedup.PERM_CONSTS[i]
+    hs = [py_base_hash(s) for s in py_shingles(text)]
+    if not hs:
+        return (a * dedup.EMPTY_BASE + b) % dedup.MINHASH_P
+    return min((a * h + b) % dedup.MINHASH_P for h in hs)
+
+
+def py_simhash(text, bits=32):
+    toks = py_tokens(text)
+    hs = [int(hashlib.md5(t.encode()).hexdigest()[:15], 16) for t in toks]
+    out = 0
+    for b in range(bits):
+        s = sum(1 if h & (1 << b) else -1 for h in hs)
+        if s > 0:
+            out |= 1 << b
+    return out
+
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy cat",
+    "one two",  # < k tokens -> empty shingle set
+    "",
+    "a a a a a a a a",
+]
+
+
+def test_minhash_matches_python(spark):
+    df = spark.createDataFrame(list(enumerate(TEXTS)), ["doc_id", "text"])
+    sigs = dedup.minhash_signature(df, num_hashes=4)
+    for r in sigs.collect():
+        for i in range(4):
+            assert r[f"mh_{i}"] == py_minhash(TEXTS[r.doc_id], i), (r.doc_id, i)
+
+
+def test_simhash_matches_python(spark):
+    df = spark.createDataFrame(list(enumerate(TEXTS)), ["doc_id", "text"])
+    got = {r.doc_id: r.simhash for r in dedup.simhash(df).collect()}
+    for i, t in enumerate(TEXTS):
+        assert got[i] == py_simhash(t), i
+
+
+def test_lsh_finds_near_duplicates(spark):
+    # long texts differing by one word have jaccard ~0.95 -> under the frozen
+    # hash family at 4 bands x 4 rows a band collision is near-certain
+    base = " ".join(f"w{i % 13} t{i % 7}" for i in range(30))
+    near = base + " tail"
+    far = " ".join(f"z{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far), (3, base)], ["doc_id", "text"]
+    )
+    sigs = dedup.minhash_signature(df)
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_buckets(sigs)).collect()
+    pairset = {(r.doc_a, r.doc_b) for r in pairs}
+    assert (0, 3) in pairset  # exact dup always collides
+    assert (0, 1) in pairset  # near-dup collides under frozen constants
+    assert (0, 2) not in pairset and (1, 2) not in pairset  # unrelated text
+
+
+def test_ngram_jaccard_exact(spark):
+    df = spark.createDataFrame(list(enumerate(TEXTS)), ["doc_id", "text"])
+    pairs = spark.createDataFrame([(0, 1)], ["doc_a", "doc_b"])
+    out = dedup.ngram_jaccard_pairs(df, pairs).collect()[0]
+    a = set(py_shingles(TEXTS[0]))
+    b = set(py_shingles(TEXTS[1]))
+    want = len(a & b) / len(a | b)
+    assert abs(out.jaccard - want) < 1e-12
+    assert out.inter == len(a & b)
+
+
+def test_exact_dedup_groups(spark):
+    df = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "other text")], ["doc_id", "text"]
+    )
+    rows = {r.text_md5: (r.dup_cnt, r.canonical_doc) for r in dedup.exact_dedup_groups(df).collect()}
+    assert sorted(rows.values()) == [(1, 3), (2, 1)]

@@ -1,0 +1,135 @@
+"""Spatial operators vs independent pure-Python oracles.
+
+The STRtree and ray-casting kernels are verified against a deliberately
+naive reimplementation (per-point loops, no shared code path), and the
+Spark joins against brute-force DataFrame computations.
+"""
+
+import numpy as np
+import pytest
+
+from geotiff_tiler_spark.operators import strtree as st
+
+
+def naive_point_in_rings(x, y, rings):
+    """Independent even-odd oracle: textbook scalar ray cast."""
+    inside = False
+    for r in rings:
+        pts = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+        for i in range(len(pts) - 1):
+            x1, y1 = pts[i]
+            x2, y2 = pts[i + 1]
+            if (y1 <= y) != (y2 <= y):
+                xint = x1 + (y - y1) / (y2 - y1) * (x2 - x1)
+                if x < xint:
+                    inside = not inside
+    return inside
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(7)
+
+
+def test_strtree_query_matches_bruteforce(rng):
+    for n in (0, 1, 5, 17, 100, 500):
+        lo = rng.uniform(0, 90, size=(n, 2))
+        wh = rng.uniform(0.1, 10, size=(n, 2))
+        boxes = np.hstack([lo, lo + wh])
+        tree = st.STRtree(boxes)
+        for _ in range(20):
+            q = rng.uniform(-5, 105, size=2)
+            got = sorted(tree.query_point(q[0], q[1]).tolist())
+            want = sorted(
+                i
+                for i in range(n)
+                if boxes[i, 0] <= q[0] <= boxes[i, 2] and boxes[i, 1] <= q[1] <= boxes[i, 3]
+            )
+            assert got == want
+        # box queries
+        for _ in range(10):
+            qb = np.sort(rng.uniform(0, 100, size=(2, 2)), axis=0)
+            xmin, ymin, xmax, ymax = qb[0, 0], qb[0, 1], qb[1, 0], qb[1, 1]
+            got = sorted(tree.query_box(xmin, ymin, xmax, ymax).tolist())
+            want = sorted(
+                i
+                for i in range(n)
+                if boxes[i, 0] <= xmax
+                and boxes[i, 2] >= xmin
+                and boxes[i, 1] <= ymax
+                and boxes[i, 3] >= ymin
+            )
+            assert got == want
+
+
+def test_ray_cast_matches_naive(rng):
+    tri = np.array([[0.0, 0.0], [10.0, 0.0], [5.0, 10.0]])
+    donut_outer = np.array([[0.0, 0.0], [10.0, 0.0], [10.0, 10.0], [0.0, 10.0]])
+    donut_hole = np.array([[3.0, 3.0], [7.0, 3.0], [7.0, 7.0], [3.0, 7.0]])
+    for rings in ([tri], [donut_outer, donut_hole]):
+        xs = rng.uniform(-2, 12, size=200)
+        ys = rng.uniform(-2, 12, size=200)
+        got = st.points_in_rings(xs, ys, [np.vstack([r, r[:1]]) for r in rings])
+        want = np.array([naive_point_in_rings(x, y, rings) for x, y in zip(xs, ys)])
+        assert (got == want).all()
+    # donut: center is a hole
+    assert not st.points_in_rings(
+        np.array([5.0]), np.array([5.0]), [np.vstack([donut_outer, donut_outer[:1]]), np.vstack([donut_hole, donut_hole[:1]])]
+    )[0]
+
+
+def test_wkb_roundtrip():
+    tri = np.array([[0.0, 0.0], [4.0, 0.0], [2.0, 3.0]])
+    sq = np.array([[10.0, 10.0], [12.0, 10.0], [12.0, 12.0], [10.0, 12.0]])
+    poly = st.parse_wkb(st.wkb_polygon([tri]))
+    assert len(poly) == 1 and len(poly[0]) == 1 and len(poly[0][0]) == 4  # closed
+    multi = st.parse_wkb(st.wkb_multipolygon([[tri], [sq]]))
+    assert len(multi) == 2
+    assert st.polygon_bbox(multi) == (0.0, 0.0, 12.0, 12.0)
+
+
+def test_point_in_polygon_join_vs_bruteforce(spark, docs):
+    from geotiff_tiler_spark.operators import tiling
+    from geotiff_tiler_spark.operators.spatial_join import point_in_polygon_join
+    from geotiff_tiler_spark.operators.tiling import TilingParams
+    from geotiff_tiler_spark.sources.labels import label_polygons
+
+    pts = tiling.doc_points(docs, TilingParams()).select("doc_id", "lon", "lat")
+    polys = label_polygons(spark, n=60)
+    got = sorted(
+        (r.doc_id, r.feature_id) for r in point_in_polygon_join(pts, polys, res=3).collect()
+    )
+    # brute force oracle: all pairs, naive scalar ray cast
+    pl = polys.collect()
+    want = []
+    for p in pts.collect():
+        for q in pl:
+            geoms = st.parse_wkb(bytes(q.wkb))
+            if any(naive_point_in_rings(p.lon, p.lat, rings) for rings in geoms):
+                want.append((p.doc_id, q.feature_id))
+    assert got == sorted(want)
+    assert len(got) > 0  # fixture must actually exercise hits
+
+
+def test_knn_matches_bruteforce(spark, docs):
+    from pyspark.sql import functions as F
+
+    from geotiff_tiler_spark.operators import knn, tiling
+    from geotiff_tiler_spark.operators.tiling import TilingParams
+
+    pts = tiling.doc_points(docs, TilingParams())
+    queries = pts.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("lon").alias("q_lon"),
+        F.col("lat").alias("q_lat"),
+    )
+    points = pts.select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.col("lon").alias("n_lon"),
+        F.col("lat").alias("n_lat"),
+    )
+    ring = knn.knn_cell_ring(queries, points, k=3, res=4, max_ring=2)
+    bf = knn.knn_bruteforce(queries, points, k=3)
+    a = sorted((r.query_id, r.rank, r.neighbor_id) for r in ring.collect())
+    b = sorted((r.query_id, r.rank, r.neighbor_id) for r in bf.collect())
+    assert a == b

@@ -1,0 +1,95 @@
+"""Streaming ingest (availableNow, file source) + multimodal plumbing."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.multimodal import binary as mm
+from geotiff_tiler_spark.operators.tiling import TilingParams
+from geotiff_tiler_spark.plans.manifest import Manifest
+from geotiff_tiler_spark.sources import pages
+from geotiff_tiler_spark.streaming import ingest
+
+P = TilingParams(label_threshold=None)
+
+
+def test_windowed_cell_counts_stream(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream1"))
+    src = f"{base}/src"
+    pages.synth_pages(spark, 300).write.parquet(src)
+    stream = ingest.read_pages_stream(spark, src)
+    assert stream.isStreaming
+    agg = ingest.windowed_cell_counts(stream, P, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cellcounts")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM cellcounts")
+    # append mode emits only watermark-closed windows; with availableNow the
+    # final watermark closes all but the trailing window(s)
+    batch = ingest.windowed_cell_counts(
+        spark.read.parquet(src), P, window="1 hour", watermark="2 hours"
+    )
+    assert got.count() > 0
+    # every emitted row must match the batch computation exactly
+    j = got.join(
+        batch.withColumnRenamed("n_pages", "n_batch"),
+        ["win_start", "win_end", "image_id"],
+        "left",
+    )
+    assert j.filter((F.col("n_batch").isNull()) | (F.col("n_pages") != F.col("n_batch"))).count() == 0
+
+
+def test_foreach_batch_idempotent(spark, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("stream2"))
+    src = f"{base}/src"
+    pages.synth_pages(spark, 200).write.parquet(src)
+    out_dir, mf_dir = f"{base}/out", f"{base}/mf"
+    fn = ingest.foreach_batch_tiler(P, out_dir, mf_dir)
+
+    batch = spark.read.parquet(src)
+    fn(batch, 0)
+    m = Manifest(spark, mf_dir)
+    n1 = m.completed_patches().count()
+    assert n1 > 0
+    # replayed micro-batch (same data, e.g. after a failure) is a no-op
+    fn(batch, 0)
+    assert m.completed_patches().count() == n1
+    tiles = spark.read.parquet(f"{out_dir}/tiles")
+    assert tiles.count() == n1  # no duplicate rows in the sink either
+
+
+def test_multimodal_features(spark):
+    media = mm.synth_media(spark, 30)
+    rows = media.collect()
+    assert {r.kind for r in rows} == {"image", "audio", "video"}
+    assert all(len(bytes(r.payload)) >= 1024 for r in rows)
+    feats = mm.extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r.feat) == mm.FEAT_DIM
+        hist = r.feat[8:16]
+        assert abs(sum(hist) - 1.0) < 1e-5  # normalized histogram
+    # determinism
+    feats2 = mm.extract_features(mm.synth_media(spark, 30)).collect()
+    assert sorted((r.media_id, tuple(r.feat)) for r in feats2) == sorted(
+        (r.media_id, tuple(r.feat)) for r in feats
+    )
+
+
+def test_multimodal_frame_sample(spark):
+    media = mm.synth_media(spark, 30)
+    frames = mm.frame_sample(media, every=8)
+    rows = frames.collect()
+    assert rows and all(r.frame_idx % 8 == 0 and r.frame_idx < r.n_frames for r in rows)
+
+
+def test_real_decoder_is_stubbed():
+    with pytest.raises(NotImplementedError):
+        mm.decode_image_real(b"", {})
