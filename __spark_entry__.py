@@ -537,6 +537,63 @@ def q30_sliding_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q31_validation_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7: row validation as data -> status/reason counts (failures routed
+    to quarantine, not exceptions; reference io.py:177-235)."""
+    docs = _docs(spark, sf_dir)
+    text = F.col("text")
+    reason = (
+        F.when(text.isNull() | (F.length(F.trim(text)) == 0), "empty_text")
+        .when(~F.col("lang").isin("en", "fr", "de", "es", "zh"), "unknown_lang")
+        .otherwise(F.lit(None).cast("string"))
+    )
+    v = docs.withColumn("reason", reason).withColumn(
+        "status", F.when(F.col("reason").isNull(), "valid").otherwise("invalid")
+    )
+    return v.groupBy("status", "reason").agg(
+        F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_doc")
+    )
+
+
+def q32_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: BPE-ish regex token counting (word / number /
+    punctuation classes) — JVM regexp, no UDF."""
+    docs = _docs(spark, sf_dir)
+    pat = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+    n = F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0))).cast("bigint")
+    per_doc = docs.select("doc_id", "lang", n.alias("n_bpe_tokens"))
+    return per_doc.groupBy("lang").agg(
+        F.sum("n_bpe_tokens").alias("total_tokens"),
+        F.max("n_bpe_tokens").alias("max_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+def q33_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: LSH sign-bucket blocking + cosine refine
+    (the embedding leg of the dedup ladder)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = emb.withColumn("bucket", similarity.sign_bucket("embedding"))
+    l = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
+    r = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    scored = similarity.with_cosine(pairs, "va", "vb")
+    return scored.filter(F.col("cosine") >= 0.5).select("id_a", "id_b", "cosine")
+
+
+def q34_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring gate: per-lang kept/dropped under the n_tokens >= 5
+    and stop_ratio >= 0.01 rule."""
+    q = T.quality_metrics(_docs(spark, sf_dir))
+    return q.groupBy("lang").agg(
+        F.sum(F.when(F.col("is_quality"), 1).otherwise(0)).alias("kept"),
+        F.sum(F.when(F.col("is_quality"), 0).otherwise(1)).alias("dropped"),
+        F.round(F.avg("stop_ratio"), 9).alias("avg_stop_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -590,6 +647,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q28_val_cells_greedy": q28_val_cells_greedy,
         "q29_affine_roundtrip": q29_affine_roundtrip,
         "q30_sliding_tiles": q30_sliding_tiles,
+        "q31_validation_status": q31_validation_status,
+        "q32_regex_tokens": q32_regex_tokens,
+        "q33_embedding_neardup": q33_embedding_neardup,
+        "q34_quality_filter": q34_quality_filter,
     }
 
 
@@ -964,6 +1025,53 @@ ok AS (
 SELECT image_id, tile_x, tile_y, COUNT(*) AS point_cnt,
        COUNT(DISTINCT px * 1000000 + py) AS nonzero_px
 FROM ok GROUP BY 1, 2, 3
+""",
+        "q31_validation_status": """
+WITH v AS (
+  SELECT doc_id,
+    CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 'empty_text'
+         WHEN lang NOT IN ('en','fr','de','es','zh') THEN 'unknown_lang'
+         ELSE NULL END AS reason
+  FROM documents
+)
+SELECT CASE WHEN reason IS NULL THEN 'valid' ELSE 'invalid' END AS status,
+       reason, COUNT(*) AS n, MIN(doc_id) AS min_doc
+FROM v GROUP BY 1, 2
+""",
+        "q32_regex_tokens": """
+WITH per AS (
+  SELECT doc_id, lang,
+         CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
+  FROM documents
+)
+SELECT lang, SUM(n_bpe_tokens) AS total_tokens, MAX(n_bpe_tokens) AS max_tokens,
+       COUNT(*) AS n_docs
+FROM per GROUP BY lang
+""",
+        "q33_embedding_neardup": f"""
+WITH b AS (
+  SELECT vec_id, embedding, CAST(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END AS BIGINT) AS bucket FROM embeddings
+),
+pairs AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.embedding AS va, r.embedding AS vb
+  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, ROUND(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (va[i]::DOUBLE)))) > 0 AND sqrt(list_sum(list_transform(generate_series(1, 64), i -> (vb[i]::DOUBLE) * (vb[i]::DOUBLE)))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (vb[i]::DOUBLE)))) / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (va[i]::DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1, 64), i -> (vb[i]::DOUBLE) * (vb[i]::DOUBLE))))) ELSE 0.0 END, 6) AS cosine
+FROM pairs
+WHERE ROUND(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (va[i]::DOUBLE)))) > 0 AND sqrt(list_sum(list_transform(generate_series(1, 64), i -> (vb[i]::DOUBLE) * (vb[i]::DOUBLE)))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (vb[i]::DOUBLE)))) / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (va[i]::DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1, 64), i -> (vb[i]::DOUBLE) * (vb[i]::DOUBLE))))) ELSE 0.0 END, 6) >= 0.5
+""",
+        "q34_quality_filter": f"""
+WITH q AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+         CASE WHEN CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) > 0 THEN CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT)::DOUBLE / CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) ELSE 0.0 END AS stop_ratio
+  FROM documents
+)
+SELECT lang,
+       SUM(CASE WHEN n_tokens >= 5 AND stop_ratio >= 0.01 THEN 1 ELSE 0 END) AS kept,
+       SUM(CASE WHEN n_tokens >= 5 AND stop_ratio >= 0.01 THEN 0 ELSE 1 END) AS dropped,
+       ROUND(AVG(stop_ratio), 9) AS avg_stop_ratio
+FROM q GROUP BY lang
 """,
         "q24_knn": f"""
 WITH {_pts_cte()},

@@ -1,0 +1,257 @@
+"""Raster tier: rasterize, erosion, EDT / SDF / heatmap targets.
+
+The reference's heavy per-pixel operators (SURVEY §2.8 X3, X5, X8-X13)
+re-implemented on numpy (rasterio/scipy/shapely are unavailable), wrapped
+in Arrow-batched pandas UDFs:
+
+- X3 rasterize: burn values assigned in ascending order so later (higher)
+  classes overwrite earlier (reference io.py:622-733 sorts by burn_val);
+  255 reserved as the ignore/nodata sentinel (reference io.py:704-706).
+- W2/W3 window semantics: every tile window is materialized full-size with
+  0 (background) fill; pixels where the synthetic image is nodata are set
+  to 255 in the label (reference tiler.py:789-832).
+- X5 erosion: binary erosion (4-neighborhood shifts); the reference's
+  restore conditions (restore the original when the eroded instance
+  vanishes or is too small, io.py:653-675) are applied per instance.
+- X8 dual-distance EDT weight: per instance, exact EDT in a padded local
+  bbox; per-pixel nearest (d1) and second-nearest (d2) instance distances;
+  weight = exp(-(d1+d2)/sigma) where both < max_dist (build_targets.py:153-206).
+- X9/X10 boundary/vertex gaussian heatmaps: splat with np.add.at, clip [0,1]
+  (build_targets.py:214-320).
+- X11 SDF: EDT(outside) - EDT(inside), normalized by the GLOBAL max |sdf|
+  (>=1) — an image-wide aggregate before the per-tile slice
+  (build_targets.py:328-363). In Spark this is the classic two-pass:
+  per-tile partial max -> groupBy(image).max -> broadcast rejoin -> scale.
+
+EDT is the exact O(n) algorithm of Felzenszwalb & Huttenlocher (2012),
+"Distance Transforms of Sampled Functions" — public, textbook.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+INF = 1e18
+IGNORE = 255  # nodata/ignore sentinel (reference io.py:704-706)
+
+
+# ---------------------------------------------------------------------------
+# Exact Euclidean distance transform (Felzenszwalb-Huttenlocher)
+# ---------------------------------------------------------------------------
+
+
+def _edt_1d(f: np.ndarray) -> np.ndarray:
+    """1-D squared distance transform of sampled function f (lower envelope
+    of parabolas). O(n)."""
+    n = len(f)
+    d = np.empty(n)
+    v = np.zeros(n, dtype=np.int64)  # parabola sites
+    z = np.empty(n + 1)  # envelope boundaries
+    k = 0
+    z[0], z[1] = -INF, INF
+    for q in range(1, n):
+        s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2 * q - 2 * v[k])
+        while s <= z[k]:
+            k -= 1
+            s = ((f[q] + q * q) - (f[v[k]] + v[k] * v[k])) / (2 * q - 2 * v[k])
+        k += 1
+        v[k] = q
+        z[k] = s
+        z[k + 1] = INF
+    k = 0
+    for q in range(n):
+        while z[k + 1] < q:
+            k += 1
+        d[q] = (q - v[k]) ** 2 + f[v[k]]
+    return d
+
+
+def edt(mask: np.ndarray) -> np.ndarray:
+    """Exact Euclidean distance (pixels) to the nearest True pixel.
+
+    All-False mask -> +inf everywhere.
+    """
+    mask = np.asarray(mask, dtype=bool)
+    f = np.where(mask, 0.0, INF)
+    # columns then rows (separable)
+    g = np.empty_like(f)
+    for x in range(f.shape[1]):
+        g[:, x] = _edt_1d(f[:, x])
+    out = np.empty_like(g)
+    for y in range(g.shape[0]):
+        out[y, :] = _edt_1d(g[y, :])
+    out = np.sqrt(out)
+    out[out > 1e8] = np.inf
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Rasterization
+# ---------------------------------------------------------------------------
+
+
+def burn_value_map(attr_values: list, continuous: bool = True) -> dict:
+    """X3 burn map (reference io.py:622-633): {src: idx+1} when continuous
+    (classes renumbered 1..n in attr_values order) else identity; keys
+    stringified when all attrs are strings."""
+    if continuous:
+        return {v: i + 1 for i, v in enumerate(attr_values)}
+    return {v: v for v in attr_values}
+
+
+def rasterize_points(
+    px: np.ndarray, py: np.ndarray, burn: np.ndarray, width: int, height: int
+) -> np.ndarray:
+    """Burn point marks into a (H, W) uint8 label patch.
+
+    Ascending burn ordering: higher burn values overwrite lower ones at
+    shared pixels (reference io.py:680: features sorted by burn_val so
+    later classes overwrite earlier)."""
+    out = np.zeros((height, width), dtype=np.uint8)
+    order = np.argsort(burn, kind="stable")
+    out[py[order], px[order]] = burn[order].astype(np.uint8)
+    return out
+
+
+def rasterize_polygon_rings(
+    rings: list[np.ndarray], width: int, height: int, burn: int, out: np.ndarray | None = None
+) -> np.ndarray:
+    """Scanline even-odd fill of polygon rings in PIXEL coordinates.
+
+    Pixel (x, y) is filled iff its center (x+0.5, y+0.5) is inside — the
+    same center-sampling convention GDAL's rasterizer defaults to."""
+    if out is None:
+        out = np.zeros((height, width), dtype=np.uint8)
+    ys = np.arange(height) + 0.5
+    for yi, y in enumerate(ys):
+        xs: list[float] = []
+        for r in rings:
+            pts = r if np.array_equal(r[0], r[-1]) else np.vstack([r, r[:1]])
+            x1, y1 = pts[:-1, 0], pts[:-1, 1]
+            x2, y2 = pts[1:, 0], pts[1:, 1]
+            hit = (y1 <= y) != (y2 <= y)
+            if hit.any():
+                xi = x1[hit] + (y - y1[hit]) / (y2[hit] - y1[hit]) * (x2[hit] - x1[hit])
+                xs.extend(xi.tolist())
+        if not xs:
+            continue
+        xs.sort()
+        for i in range(0, len(xs) - 1, 2):
+            a = max(int(np.ceil(xs[i] - 0.5)), 0)
+            b = min(int(np.floor(xs[i + 1] - 0.5)), width - 1)
+            if b >= a:
+                out[yi, a : b + 1] = burn
+    return out
+
+
+def apply_nodata_mask(label: np.ndarray, image_nodata: np.ndarray) -> np.ndarray:
+    """W3: where ALL image bands are nodata, label becomes IGNORE=255
+    (reference tiler.py:825-832)."""
+    out = label.copy()
+    out[image_nodata] = IGNORE
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Erosion (X5)
+# ---------------------------------------------------------------------------
+
+
+def binary_erode(mask: np.ndarray, iterations: int = 1) -> np.ndarray:
+    """4-neighborhood binary erosion via shifts (vectorized)."""
+    out = np.asarray(mask, dtype=bool)
+    for _ in range(iterations):
+        p = np.pad(out, 1, constant_values=False)
+        out = p[1:-1, 1:-1] & p[:-2, 1:-1] & p[2:, 1:-1] & p[1:-1, :-2] & p[1:-1, 2:]
+    return out
+
+
+def erode_instances(
+    label: np.ndarray,
+    iterations: int = 1,
+    min_area: int = 4,
+) -> np.ndarray:
+    """Per-instance erosion with the reference's restore conditions
+    (io.py:653-675): after eroding, restore the ORIGINAL instance when the
+    eroded one is empty or its area fell below min_area, or the original
+    was already small (< 3*min_area). Instances = distinct burn values here
+    (the synthetic data has one instance per class value)."""
+    out = np.zeros_like(label)
+    for v in np.unique(label):
+        if v == 0 or v == IGNORE:
+            continue
+        inst = label == v
+        er = binary_erode(inst, iterations)
+        if er.sum() == 0 or er.sum() < min_area or inst.sum() < 3 * min_area:
+            er = inst  # restore original
+        out[er] = v
+    out[label == IGNORE] = IGNORE
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Targets (X8-X13)
+# ---------------------------------------------------------------------------
+
+
+def dual_distance_weight(
+    label: np.ndarray, max_dist: float = 10.0, sigma: float = 5.0
+) -> np.ndarray:
+    """X8: per-pixel nearest (d1) and 2nd-nearest (d2) instance distances;
+    weight = exp(-(d1+d2)/sigma) where BOTH < max_dist, else 0; uint8 scaled
+    (reference build_targets.py:153-206 + write spec 119-145)."""
+    h, w = label.shape
+    values = [v for v in np.unique(label) if v != 0 and v != IGNORE]
+    d1 = np.full((h, w), np.inf)
+    d2 = np.full((h, w), np.inf)
+    for v in values:
+        d = edt(label == v)
+        closer = d < d1
+        d2 = np.where(closer, d1, np.minimum(d2, d))
+        d1 = np.where(closer, d, d1)
+    weight = np.where(
+        (d1 < max_dist) & (d2 < max_dist), np.exp(-(d1 + d2) / sigma), 0.0
+    )
+    return np.clip(weight * 255.0, 0, 255).astype(np.uint8)
+
+
+def gaussian_splat(
+    points: np.ndarray, width: int, height: int, sigma: float
+) -> np.ndarray:
+    """Splat unit gaussians at (x, y) points via np.add.at; clip [0, 1]
+    (reference build_targets.py:214-320)."""
+    out = np.zeros((height, width), dtype=np.float64)
+    radius = int(np.ceil(3 * sigma))
+    if len(points) == 0:
+        return out
+    dy, dx = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    kernel = np.exp(-(dx * dx + dy * dy) / (2 * sigma * sigma))
+    for x, y in points:
+        xi, yi = int(round(x)), int(round(y))
+        x0, x1 = max(xi - radius, 0), min(xi + radius, width - 1)
+        y0, y1 = max(yi - radius, 0), min(yi + radius, height - 1)
+        if x1 < x0 or y1 < y0:
+            continue
+        k = kernel[
+            (y0 - yi + radius) : (y1 - yi + radius + 1),
+            (x0 - xi + radius) : (x1 - xi + radius + 1),
+        ]
+        np.add.at(out, (slice(y0, y1 + 1), slice(x0, x1 + 1)), k)
+    return np.clip(out, 0.0, 1.0)
+
+
+def sdf_unnormalized(label: np.ndarray) -> np.ndarray:
+    """X11 first pass: signed distance field, positive inside, negative
+    outside: EDT(~mask) - EDT(mask) with mask = any class pixel
+    (reference build_targets.py:328-352). float32."""
+    mask = (label > 0) & (label != IGNORE)
+    inside = edt(~mask)  # distance to nearest OUTSIDE pixel (for interiors)
+    outside = edt(mask)  # distance to nearest inside pixel
+    inside[np.isinf(inside)] = 0.0
+    outside[np.isinf(outside)] = 0.0
+    return (inside - outside).astype(np.float32)
+
+
+def sdf_normalize(sdf: np.ndarray, global_max_abs: float) -> np.ndarray:
+    """X11 second pass: normalize by global max(|sdf|, 1) -> [-1, 1]."""
+    return (sdf / max(global_max_abs, 1.0)).astype(np.float32)

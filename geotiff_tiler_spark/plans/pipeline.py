@@ -130,3 +130,67 @@ def create_tiles(
 
     n_imgs = per_img.count()
     return TilingRun(kept=n_pending, skipped_resume=skipped, images=n_imgs, commit_id=commit_id)
+
+
+def retry_failed_images(
+    spark: SparkSession,
+    docs: DataFrame,
+    params: TilingParams,
+    out_dir: str,
+    manifest_dir: str,
+    max_retries: int = 3,
+) -> list[TilingRun]:
+    """R5 (reference tiler.py:422-515): semi-join the work table against the
+    manifest's failed set (J10), re-run the pipeline on just those rows per
+    attempt, stop early when nothing is failed. Task-level transient errors
+    are already retried by Spark (spark.task.maxFailures); this covers
+    app-level failures recorded in the manifest."""
+    from geotiff_tiler_spark.operators import tiling as _tiling
+
+    runs: list[TilingRun] = []
+    manifest = Manifest(spark, manifest_dir)
+    for _attempt in range(max_retries):
+        failed = manifest.failed_images()
+        if failed.isEmpty():
+            break
+        pts = _tiling.doc_points(docs, params)
+        retry_docs = docs.join(
+            pts.select("doc_id", "image_id").join(failed, "image_id", "left_semi").select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        runs.append(
+            create_tiles(spark, retry_docs, params, out_dir, manifest_dir)
+        )
+    return runs
+
+
+def write_csv_index(tiles: DataFrame, out_dir: str) -> None:
+    """K4: one CSV per split, ';'-separated (reference tiler.py:989-998).
+
+    Columns mirror the reference's relative-path triplet; here the payload
+    addresses are the tile identity keys."""
+    keyed = tiles.withColumn(
+        "image_key",
+        F.concat_ws("/", F.lit("images"), F.col("image_id"), F.col("tile_x"), F.col("tile_y")),
+    ).withColumn(
+        "label_key",
+        F.concat_ws("/", F.lit("labels"), F.col("image_id"), F.col("tile_x"), F.col("tile_y")),
+    )
+    keyed.select("split", "image_key", "label_key").write.mode("overwrite").partitionBy(
+        "split"
+    ).option("sep", ";").csv(os.path.join(out_dir, "csv_index"))
+
+
+def export_normalization_stats(stats_df: DataFrame, path: str) -> dict:
+    """K7 (reference tiler.py:388-420): final stats aggregate -> one JSON
+    on the driver. The aggregate is tiny (rows = images x bands)."""
+    import json
+
+    rows = [r.asDict() for r in stats_df.collect()]
+    payload = {"normalization_stats": rows, "n_rows": len(rows)}
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh, sort_keys=True)
+    os.replace(tmp, path)  # atomic rename, reference tiling_manifest.py:611-617
+    return payload

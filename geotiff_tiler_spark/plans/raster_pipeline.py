@@ -1,0 +1,198 @@
+"""Spark wiring for the raster tier: tile materialization + target columns.
+
+The reference materializes per-tile numpy windows inside one process
+(tiler.py:779-832) and computes training targets per image
+(build_targets.py). Here each tile is one ROW with a binary label-patch
+payload, produced and consumed by Arrow-batched pandas UDFs:
+
+  points --applyInPandas per (image, tile)--> label tiles (binary patch)
+         --mapInPandas--> target tiles (EDT weight / heatmap / raw SDF)
+         --groupBy(image).max + broadcast rejoin--> normalized SDF (X11's
+           global-then-local normalization: the one operator that CANNOT be
+           done in a single grouped pass, SURVEY §7 "what's hard")
+
+Payload format: raw uint8 (H*W) bytes for labels/uint8 targets, float32
+bytes for SDF — Parquet-friendly binary columns, decoded with
+np.frombuffer (zero-copy) inside the UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.operators import raster
+from geotiff_tiler_spark.operators.tiling import TilingParams, assign_tiles
+
+LABEL_TILE_SCHEMA = (
+    "image_id long, tile_x long, tile_y long, patch binary, "
+    "n_label_px long, n_classes int"
+)
+
+TARGET_SCHEMA = (
+    "image_id long, tile_x long, tile_y long, target binary, "
+    "max_abs double, nonzero long"
+)
+
+
+def synthetic_nodata_mask(px: np.ndarray, py: np.ndarray) -> np.ndarray:
+    """Deterministic stand-in for 'all image bands == nodata' (W3): a sparse
+    diagonal stripe pattern. Any real deployment derives this from the
+    image payload instead."""
+    return ((px * 7 + py * 13) % 97) == 0
+
+
+def materialize_label_tiles(
+    points: DataFrame, params: TilingParams, class_order: list[str], class_col: str = "lang"
+) -> DataFrame:
+    """Burn each tile's points into a (patch_h, patch_w) uint8 label patch.
+
+    Burn map: class_order index + 1 (reference X3 continuous mapping);
+    ascending-burn overwrite; nodata pixels -> 255 (W3). One output row per
+    non-empty tile; the applyInPandas group key is the tile identity, so
+    partitioning matches the write layout."""
+    burn_map = raster.burn_value_map(class_order, continuous=True)
+    pw, ph = params.patch_w, params.patch_h
+
+    # F3 class filter (reference io.py:784-789): only requested classes are
+    # rasterized; rows with other class values are dropped before burning
+    assigned = (
+        assign_tiles(points, params)
+        .filter(F.col(class_col).isin(class_order))
+        .select("image_id", "tile_x", "tile_y", "px", "py", class_col)
+    )
+
+    def _burn(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = int(pdf["image_id"].iloc[0])
+        tx = int(pdf["tile_x"].iloc[0])
+        ty = int(pdf["tile_y"].iloc[0])
+        lx = pdf["px"].to_numpy(dtype=np.int64) - tx
+        ly = pdf["py"].to_numpy(dtype=np.int64) - ty
+        # boundless window: coordinates past the image edge still land in
+        # the full-size patch; outside the patch would be a bug
+        keep = (lx >= 0) & (lx < pw) & (ly >= 0) & (ly < ph)
+        lx, ly = lx[keep], ly[keep]
+        burn = np.array(
+            [burn_map[c] for c in pdf[class_col].to_numpy()[keep]], dtype=np.int64
+        )
+        patch = raster.rasterize_points(lx, ly, burn, pw, ph)
+        nod = synthetic_nodata_mask(
+            np.add.outer(np.zeros(ph, dtype=np.int64), np.arange(pw)) + tx,
+            np.add.outer(np.arange(ph, dtype=np.int64), np.zeros(pw, dtype=np.int64)) + ty,
+        )
+        patch = raster.apply_nodata_mask(patch, nod)
+        n_label = int(((patch > 0) & (patch != raster.IGNORE)).sum())
+        n_classes = int(len(np.unique(patch[(patch > 0) & (patch != raster.IGNORE)])))
+        return pd.DataFrame(
+            [
+                (
+                    img,
+                    tx,
+                    ty,
+                    patch.tobytes(),
+                    n_label,
+                    n_classes,
+                )
+            ],
+            columns=["image_id", "tile_x", "tile_y", "patch", "n_label_px", "n_classes"],
+        )
+
+    return assigned.groupBy("image_id", "tile_x", "tile_y").applyInPandas(
+        _burn, LABEL_TILE_SCHEMA
+    )
+
+
+def _decode(patch: bytes, ph: int, pw: int) -> np.ndarray:
+    return np.frombuffer(patch, dtype=np.uint8).reshape(ph, pw)
+
+
+def compute_tile_targets(
+    tiles: DataFrame, params: TilingParams, kind: str = "edt"
+) -> DataFrame:
+    """Per-tile target computation (X8 edt-weight, X10 vertex heatmap,
+    X11 raw SDF) via mapInPandas over the binary patches."""
+    pw, ph = params.patch_w, params.patch_h
+
+    def _targets(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                label = _decode(bytes(r["patch"]), ph, pw)
+                if kind == "edt":
+                    t = raster.dual_distance_weight(label)
+                    payload = t.tobytes()
+                    max_abs = float(t.max())
+                    nonzero = int((t > 0).sum())
+                elif kind == "vertices":
+                    mask = (label > 0) & (label != raster.IGNORE)
+                    ys, xs = np.nonzero(mask)
+                    hm = raster.gaussian_splat(
+                        np.stack([xs, ys], axis=1), pw, ph, sigma=1.5
+                    )
+                    t = np.clip(hm * 255.0, 0, 255).astype(np.uint8)
+                    payload = t.tobytes()
+                    max_abs = float(hm.max())
+                    nonzero = int((t > 0).sum())
+                elif kind == "sdf":
+                    t = raster.sdf_unnormalized(label)
+                    payload = t.tobytes()
+                    max_abs = float(np.abs(t).max())
+                    nonzero = int((t != 0).sum())
+                else:
+                    raise ValueError(kind)
+                rows.append(
+                    (
+                        int(r["image_id"]),
+                        int(r["tile_x"]),
+                        int(r["tile_y"]),
+                        payload,
+                        max_abs,
+                        nonzero,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "tile_x", "tile_y", "target", "max_abs", "nonzero"],
+            )
+
+    return tiles.mapInPandas(_targets, TARGET_SCHEMA)
+
+
+def sdf_normalized(tiles: DataFrame, params: TilingParams) -> DataFrame:
+    """X11 two-pass: per-tile raw SDF + partial max -> per-image global max
+    (tiny aggregate, broadcast back) -> normalized tiles.
+
+    This is the reference's image-wide normalization (build_targets.py:357:
+    sdf /= max(|sdf|, 1)) expressed as agg + broadcast equi-join — the only
+    shuffle is over the few-rows-per-image max table."""
+    raw = compute_tile_targets(tiles, params, kind="sdf")
+    gmax = raw.groupBy("image_id").agg(F.max("max_abs").alias("global_max"))
+    joined = raw.join(F.broadcast(gmax), "image_id")
+    pw, ph = params.patch_w, params.patch_h
+
+    def _norm(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                sdf = np.frombuffer(bytes(r["target"]), dtype=np.float32).reshape(ph, pw)
+                out = raster.sdf_normalize(sdf, float(r["global_max"]))
+                rows.append(
+                    (
+                        int(r["image_id"]),
+                        int(r["tile_x"]),
+                        int(r["tile_y"]),
+                        out.tobytes(),
+                        float(np.abs(out).max()),
+                        int((out != 0).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "tile_x", "tile_y", "target", "max_abs", "nonzero"],
+            )
+
+    return joined.mapInPandas(_norm, TARGET_SCHEMA)

@@ -1,0 +1,94 @@
+"""Validation/quarantine (S7), retry (R5), CSV/JSON sinks (K4/K7)."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.operators import stats
+from geotiff_tiler_spark.operators.tiling import TilingParams, doc_points
+from geotiff_tiler_spark.plans import pipeline
+from geotiff_tiler_spark.plans.manifest import Manifest
+from geotiff_tiler_spark.sources import checks, pages
+
+P = TilingParams(label_threshold=None)
+
+
+def test_validate_pages_reasons(spark):
+    rows = [
+        (1, "u1", "2024-01-01 00:00:00", "good text here", "en"),
+        (2, "u2", "2024-01-01 00:00:00", "", "en"),  # empty
+        (3, "u3", "2024-01-01 00:00:00", "ok text", "xx"),  # unknown lang
+        (4, "u4", "1990-01-01 00:00:00", "ok text", "fr"),  # ts range
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts string, text string, lang string"
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    validated = checks.validate_pages(df)
+    got = {r.doc_id: (r.status, r.reason) for r in validated.collect()}
+    assert got[1] == ("valid", None)
+    assert got[2] == ("invalid", "empty_text")
+    assert got[3] == ("invalid", "unknown_lang")
+    assert got[4] == ("invalid", "ts_out_of_range")
+    valid, quarantine = checks.split_quarantine(validated)
+    assert valid.count() == 1 and quarantine.count() == 3
+    # first-failure-wins: empty text AND unknown lang -> empty_text
+    df2 = spark.createDataFrame(
+        [(9, "u", "2024-01-01 00:00:00", "", "xx")],
+        "doc_id long, url string, warc_ts string, text string, lang string",
+    ).withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    assert checks.validate_pages(df2).collect()[0].reason == "empty_text"
+
+
+def test_extraction_mismatch_check(spark):
+    pg = pages.synth_pages(spark, 50).withColumn(
+        "extracted", pages.extract_text("html")
+    )
+    v = checks.validate_pages(pg, extracted_col="extracted")
+    assert v.filter("status = 'invalid'").count() == 0
+
+
+def test_retry_failed_images(spark, docs, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("retry"))
+    out_dir, mf_dir = f"{base}/out", f"{base}/mf"
+    m = Manifest(spark, mf_dir)
+    # seed manifest: one image failed (simulating a crashed image-level task)
+    pts = doc_points(docs, P)
+    some_img = pts.select("image_id").distinct().orderBy("image_id").limit(1).collect()[0].image_id
+    m.append(
+        "images",
+        spark.createDataFrame(
+            [(some_img, "failed", 0, 0)],
+            "image_id long, status string, kept long, discarded long",
+        ),
+    )
+    assert m.failed_images().count() == 1
+    runs = pipeline.retry_failed_images(spark, docs, P, out_dir, mf_dir, max_retries=3)
+    # first retry processes exactly the failed image, marks it completed,
+    # later attempts are no-ops (loop exits)
+    assert len(runs) == 1
+    assert runs[0].images == 1 and runs[0].kept > 0
+    assert m.failed_images().count() == 0
+
+
+def test_csv_index_and_stats_json(spark, docs, tmp_path_factory):
+    base = str(tmp_path_factory.mktemp("sinks"))
+    pts = doc_points(docs, P)
+    from geotiff_tiler_spark.operators import tiling
+
+    tiles = tiling.assign_split(
+        tiling.filter_patches(tiling.full_tile_grid(pts, P), P).filter("keep"), P
+    )
+    pipeline.write_csv_index(tiles, base)
+    idx = spark.read.option("sep", ";").csv(f"{base}/csv_index")
+    assert idx.count() == tiles.count()
+
+    sdf = stats.running_band_stats(
+        pts.withColumn("v", (F.col("px") % 256).cast("double")), ["v"]
+    )
+    path = f"{base}/norm_stats.json"
+    payload = pipeline.export_normalization_stats(sdf, path)
+    assert os.path.exists(path)
+    on_disk = json.load(open(path))
+    assert on_disk["n_rows"] == payload["n_rows"] > 0
+    assert {"image_id", "n", "mean_v", "std_v"} <= set(on_disk["normalization_stats"][0])

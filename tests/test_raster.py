@@ -1,0 +1,161 @@
+"""Raster kernels vs brute-force oracles + the Spark two-pass SDF."""
+
+import numpy as np
+import pytest
+
+from geotiff_tiler_spark.operators import raster
+
+
+def brute_edt(mask):
+    """O(n^2) exact distance oracle."""
+    ys, xs = np.nonzero(mask)
+    h, w = mask.shape
+    out = np.full((h, w), np.inf)
+    if len(ys) == 0:
+        return out
+    for y in range(h):
+        for x in range(w):
+            out[y, x] = np.sqrt(((ys - y) ** 2 + (xs - x) ** 2).min())
+    return out
+
+
+def test_edt_matches_bruteforce():
+    rng = np.random.default_rng(5)
+    for shape in [(1, 1), (7, 5), (20, 30)]:
+        mask = rng.random(shape) < 0.1
+        got = raster.edt(mask)
+        want = brute_edt(mask)
+        both_inf = np.isinf(got) & np.isinf(want)
+        assert np.allclose(got[~both_inf], want[~both_inf], atol=1e-9)
+        assert (np.isinf(got) == np.isinf(want)).all()
+
+
+def test_edt_empty_and_full():
+    assert np.isinf(raster.edt(np.zeros((4, 4), dtype=bool))).all()
+    assert (raster.edt(np.ones((4, 4), dtype=bool)) == 0).all()
+
+
+def test_burn_value_map():
+    assert raster.burn_value_map(["fore", "hydro"]) == {"fore": 1, "hydro": 2}
+    assert raster.burn_value_map([3, 7], continuous=False) == {3: 3, 7: 7}
+
+
+def test_rasterize_points_overwrite_order():
+    # same pixel, burns 2 and 1 -> 2 wins (ascending ordering: higher
+    # burn value overwrites, reference io.py:680)
+    px = np.array([3, 3])
+    py = np.array([2, 2])
+    out = raster.rasterize_points(px, py, np.array([2, 1]), 5, 5)
+    assert out[2, 3] == 2
+    out2 = raster.rasterize_points(px, py, np.array([1, 2]), 5, 5)
+    assert out2[2, 3] == 2
+
+
+def test_rasterize_polygon_center_sampling():
+    sq = np.array([[1.0, 1.0], [4.0, 1.0], [4.0, 4.0], [1.0, 4.0]])
+    out = raster.rasterize_polygon_rings([sq], 6, 6, burn=7)
+    inside = {(x, y) for y in range(6) for x in range(6) if out[y, x] == 7}
+    # pixel centers 1.5..3.5 lie inside [1,4)
+    assert inside == {(x, y) for x in (1, 2, 3) for y in (1, 2, 3)}
+
+
+def test_nodata_mask_and_erosion_restore():
+    label = np.zeros((8, 8), dtype=np.uint8)
+    label[2:6, 2:6] = 1  # 16 px instance
+    label[0, 0] = 2  # 1 px instance
+    nod = np.zeros((8, 8), dtype=bool)
+    nod[7, 7] = True
+    with_nod = raster.apply_nodata_mask(label, nod)
+    assert with_nod[7, 7] == raster.IGNORE
+
+    eroded = raster.erode_instances(with_nod, iterations=1, min_area=2)
+    # 4x4 instance erodes to 2x2=4 px >= min_area BUT orig 16 >= 3*2=6 -> kept eroded
+    assert (eroded == 1).sum() == 4
+    # 1 px instance would vanish -> restored (reference io.py:668-675)
+    assert eroded[0, 0] == 2
+    assert eroded[7, 7] == raster.IGNORE
+
+
+def test_dual_distance_weight_peaks_between_instances():
+    label = np.zeros((9, 21), dtype=np.uint8)
+    label[4, 3] = 1
+    label[4, 17] = 2
+    w = raster.dual_distance_weight(label, max_dist=12.0, sigma=8.0)
+    mid = w[4, 10]
+    assert mid > 0
+    # pixels far from the second instance get 0 (d2 >= max_dist)
+    assert w[0, 0] == 0
+    # single-instance tile -> all zeros (d2 = inf)
+    w1 = raster.dual_distance_weight(np.where(label == 2, 0, label).astype(np.uint8))
+    assert (w1 == 0).all()
+
+
+def test_gaussian_splat_clip():
+    pts = np.array([[5.0, 5.0]] * 10)  # stacked splats must clip at 1
+    out = raster.gaussian_splat(pts, 11, 11, sigma=1.5)
+    assert out.max() == 1.0
+    assert out[5, 5] == 1.0
+    assert out[0, 0] < 0.1
+
+
+def test_sdf_sign_and_normalization():
+    label = np.zeros((10, 10), dtype=np.uint8)
+    label[3:7, 3:7] = 1
+    sdf = raster.sdf_unnormalized(label)
+    assert sdf[5, 5] > 0  # inside positive
+    assert sdf[0, 0] < 0  # outside negative
+    norm = raster.sdf_normalize(sdf, float(np.abs(sdf).max()))
+    assert norm.max() <= 1.0 and norm.min() >= -1.0
+    # global max < 1 -> divide by 1 (reference build_targets.py:357)
+    tiny = raster.sdf_normalize(np.array([[0.5, -0.25]], dtype=np.float32), 0.5)
+    assert tiny[0, 0] == np.float32(0.5)
+
+
+@pytest.fixture(scope="module")
+def label_tiles(spark, docs):
+    from geotiff_tiler_spark.operators.tiling import TilingParams, doc_points
+    from geotiff_tiler_spark.plans.raster_pipeline import materialize_label_tiles
+
+    params = TilingParams(patch_w=112, patch_h=112)
+    pts = doc_points(docs, params)
+    tiles = materialize_label_tiles(
+        pts, params, class_order=["en", "fr", "de", "es"]
+    ).cache()
+    return params, pts, tiles
+
+
+def test_materialize_label_tiles_counts(spark, label_tiles):
+    import numpy as np
+
+    from geotiff_tiler_spark.operators import tiling
+
+    params, pts, tiles = label_tiles
+    rows = tiles.collect()
+    assert rows
+    for r in rows[:10]:
+        patch = np.frombuffer(bytes(r.patch), dtype=np.uint8).reshape(
+            params.patch_h, params.patch_w
+        )
+        lab = (patch > 0) & (patch != 255)
+        assert lab.sum() == r.n_label_px
+    # label pixel counts must reconcile with the pure-SQL tile stats,
+    # except pixels blanked by the synthetic nodata stripe
+    stats = {
+        (s.image_id, s.tile_x, s.tile_y): s.nonzero_px
+        for s in tiling.tile_label_stats(tiling.assign_tiles(pts, params), params).collect()
+    }
+    for r in rows:
+        assert r.n_label_px <= stats[(r.image_id, r.tile_x, r.tile_y)]
+
+
+def test_sdf_two_pass_normalizes_per_image(spark, label_tiles):
+    import numpy as np
+
+    from geotiff_tiler_spark.plans.raster_pipeline import sdf_normalized
+
+    params, _, tiles = label_tiles
+    out = sdf_normalized(tiles.limit(20), params).collect()
+    assert out
+    for r in out:
+        sdf = np.frombuffer(bytes(r.target), dtype=np.float32)
+        assert np.abs(sdf).max() <= 1.0 + 1e-6
