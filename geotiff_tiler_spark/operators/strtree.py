@@ -205,3 +205,123 @@ def points_in_wkb(xs: np.ndarray, ys: np.ndarray, wkb: bytes) -> np.ndarray:
     for rings in polys:
         out |= points_in_rings(xs, ys, rings)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Polygon clipping (Sutherland-Hodgman) + validity repair
+# ---------------------------------------------------------------------------
+
+
+def clip_ring_to_box(ring: np.ndarray, xmin: float, ymin: float, xmax: float, ymax: float) -> np.ndarray:
+    """Clip one ring to an axis-aligned box (Sutherland-Hodgman, the
+    textbook algorithm). Returns the clipped ring ((k,2), possibly empty).
+    Convex clip window => result is a single ring, matching the reference's
+    geom.intersection(patch_box) for simple polygons (vector.py:65-149)."""
+    pts = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+
+    def clip_edge(poly, inside, intersect):
+        out = []
+        n = len(poly)
+        for i in range(n):
+            cur, prev = poly[i], poly[i - 1]
+            cin, pin = inside(cur), inside(prev)
+            if cin:
+                if not pin:
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif pin:
+                out.append(intersect(prev, cur))
+        return out
+
+    poly = [tuple(p) for p in pts]
+    edges = [
+        (lambda p: p[0] >= xmin, lambda a, b: _ix_vert(a, b, xmin)),
+        (lambda p: p[0] <= xmax, lambda a, b: _ix_vert(a, b, xmax)),
+        (lambda p: p[1] >= ymin, lambda a, b: _ix_horz(a, b, ymin)),
+        (lambda p: p[1] <= ymax, lambda a, b: _ix_horz(a, b, ymax)),
+    ]
+    for inside, intersect in edges:
+        poly = clip_edge(poly, inside, intersect)
+        if not poly:
+            return np.empty((0, 2))
+    arr = np.array(poly)
+    return np.vstack([arr, arr[:1]])
+
+
+def _ix_vert(a, b, x):
+    t = (x - a[0]) / (b[0] - a[0])
+    return (x, a[1] + t * (b[1] - a[1]))
+
+
+def _ix_horz(a, b, y):
+    t = (y - a[1]) / (b[1] - a[1])
+    return (a[0] + t * (b[0] - a[0]), y)
+
+
+def ring_area(ring: np.ndarray) -> float:
+    """Shoelace area (absolute)."""
+    pts = ring if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else np.vstack([ring, ring[:1]])
+    x, y = pts[:-1, 0], pts[:-1, 1]
+    x2, y2 = pts[1:, 0], pts[1:, 1]
+    return abs(float(np.sum(x * y2 - x2 * y)) / 2.0)
+
+
+def snap_coords(ring: np.ndarray, grid: float = 0.01) -> np.ndarray:
+    """Coordinate snapping to a precision grid (reference vector.py:119:
+    shapely.set_precision with 0.01)."""
+    return np.round(ring / grid) * grid
+
+
+def repair_polygons(polys: list[list[np.ndarray]], min_area: float = 0.0) -> list[list[np.ndarray]]:
+    """F2 validity cleanup analog (reference io.py:89-104): drop degenerate
+    rings (< 3 distinct points or zero area) and polygons whose outer ring
+    vanished; full self-intersection repair (make_valid) is out of scope —
+    the synthetic layers never produce bowties."""
+    out = []
+    for rings in polys:
+        kept = [
+            r
+            for r in rings
+            if len(np.unique(r[:-1] if np.array_equal(r[0], r[-1]) else r, axis=0)) >= 3
+            and ring_area(r) > min_area
+        ]
+        if kept:
+            out.append(kept)
+    return out
+
+
+def clip_wkb_to_box(
+    wkb: bytes, xmin: float, ymin: float, xmax: float, ymax: float, snap: float | None = 0.01
+) -> tuple[bytes | None, bool]:
+    """J7 exact clip + truncation flag (reference vector.py:65-149):
+    intersection with the box; is_truncated = clip changed the geometry;
+    empty intersection -> (None, _); coordinates snapped to 0.01."""
+    polys = parse_wkb(wkb)
+    clipped: list[list[np.ndarray]] = []
+    truncated = False
+    for rings in polys:
+        new_rings = []
+        for r in rings:
+            c = clip_ring_to_box(r, xmin, ymin, xmax, ymax)
+            if len(c) == 0:
+                truncated = True
+                continue
+            if len(c) != len(r) or not np.allclose(c, r):
+                truncated = True
+            if snap:
+                c = snap_coords(c, snap)
+            new_rings.append(c)
+        if new_rings:
+            clipped.append(new_rings)
+    clipped = repair_polygons(clipped)
+    if not clipped:
+        return None, truncated
+    if len(clipped) == 1:
+        return wkb_polygon(clipped[0]), truncated
+    return wkb_multipolygon(clipped), truncated
+
+
+def explode_multipolygon(wkb: bytes) -> list[bytes]:
+    """X7: MultiPolygon -> Polygon parts, empties dropped
+    (reference build_targets.py:44-59)."""
+    return [wkb_polygon(rings) for rings in repair_polygons(parse_wkb(wkb))]

@@ -57,3 +57,14 @@ def split_quarantine(validated: DataFrame) -> tuple[DataFrame, DataFrame]:
     valid = validated.filter(F.col("status") == "valid").drop("status", "reason")
     quarantine = validated.filter(F.col("status") == "invalid")
     return valid, quarantine
+
+
+def resolve_attr_field(columns: list[str], requested: list[str]) -> str:
+    """J8 attr-field resolution (reference io.py:609-621): intersect the
+    requested names with the actual columns; fail on 0 or >1 matches."""
+    matches = [c for c in requested if c in set(columns)]
+    if len(matches) == 0:
+        raise ValueError(f"no attribute field among {requested} found in {columns}")
+    if len(matches) > 1:
+        raise ValueError(f"ambiguous attribute fields {matches}")
+    return matches[0]

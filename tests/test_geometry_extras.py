@@ -1,0 +1,133 @@
+"""Polygon clipping (J4/J7), GeoJSON (X14), reprojection (X1/X2),
+attr-field resolution (J8), read-back (S9/S10)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from geotiff_tiler_spark.functions import geojson
+from geotiff_tiler_spark.operators import reproject, strtree as st
+from geotiff_tiler_spark.sources.checks import resolve_attr_field
+
+
+def test_clip_ring_matches_area_oracle():
+    # clip a triangle by a box; verify area via a dense point-sampling oracle
+    tri = np.array([[0.0, 0.0], [10.0, 0.0], [5.0, 10.0], [0.0, 0.0]])
+    clipped = st.clip_ring_to_box(tri, 2.0, 1.0, 8.0, 6.0)
+    assert len(clipped) >= 4
+    got_area = st.ring_area(clipped)
+    xs, ys = np.meshgrid(np.linspace(0, 10, 401), np.linspace(0, 10, 401))
+    inside_tri = st.points_in_rings(xs.ravel(), ys.ravel(), [tri])
+    in_box = (
+        (xs.ravel() >= 2) & (xs.ravel() <= 8) & (ys.ravel() >= 1) & (ys.ravel() <= 6)
+    )
+    mc_area = (inside_tri & in_box).mean() * 100.0
+    assert abs(got_area - mc_area) < 0.5
+
+
+def test_clip_wkb_truncation_flag():
+    sq = np.array([[1.0, 1.0], [4.0, 1.0], [4.0, 4.0], [1.0, 4.0]])
+    wkb = st.wkb_polygon([sq])
+    # fully inside -> untouched, not truncated
+    out, trunc = st.clip_wkb_to_box(wkb, 0, 0, 10, 10)
+    assert not trunc and out is not None
+    assert st.parse_wkb(out)[0][0].shape == st.parse_wkb(wkb)[0][0].shape
+    # straddling -> truncated, clipped geometry
+    out2, trunc2 = st.clip_wkb_to_box(wkb, 0, 0, 2.5, 10)
+    assert trunc2 and out2 is not None
+    bb = st.polygon_bbox(st.parse_wkb(out2))
+    assert bb[2] <= 2.5 + 1e-9
+    # disjoint -> dropped (reference: empty intersection removed)
+    out3, trunc3 = st.clip_wkb_to_box(wkb, 8, 8, 9, 9)
+    assert out3 is None and trunc3
+
+
+def test_repair_and_explode():
+    good = np.array([[0.0, 0.0], [2.0, 0.0], [1.0, 2.0]])
+    degenerate = np.array([[0.0, 0.0], [1.0, 1.0], [2.0, 2.0]])  # zero area
+    multi = st.wkb_multipolygon([[good], [degenerate]])
+    parts = st.explode_multipolygon(multi)
+    assert len(parts) == 1  # degenerate dropped (F2/X7)
+    assert st.parse_wkb(parts[0])[0][0].shape[0] == 4
+
+
+def test_geojson_byte_stable_and_prop_projection():
+    tri = np.array([[0.004, 0.0], [2.0, 0.0], [1.0, 2.006]])
+    wkb = st.wkb_polygon([tri])
+    f1 = geojson.feature_json(wkb, {"class": "road", "burn_val": 3, "geometry": "x"}, True)
+    f2 = geojson.feature_json(wkb, {"burn_val": 3, "geometry": "x", "class": "road"}, True)
+    assert f1 == f2  # key order independent -> byte-stable
+    obj = json.loads(f1)
+    assert obj["properties"] == {"class": "road", "is_truncated": True}
+    # snapping to 0.01 (reference vector.py:119)
+    assert obj["geometry"]["coordinates"][0][0] == [0.0, 0.0]
+    assert obj["geometry"]["coordinates"][0][2] == [1.0, 2.01]
+    fc = geojson.feature_collection_json([f1], epsg=32618)
+    assert "urn:ogc:def:crs:EPSG::32618" in fc
+    json.loads(fc)
+
+
+def test_reproject_roundtrip_and_known_values():
+    lon = np.array([0.0, -73.98, 151.21])
+    lat = np.array([0.0, 40.75, -33.87])
+    x, y = reproject.reproject_points(lon, lat, "EPSG:4326", "EPSG:3857")
+    assert abs(x[0]) < 1e-6 and abs(y[0]) < 1e-6
+    # known value: lon 180 -> pi*R
+    x180, _ = reproject.lonlat_to_mercator(np.array([180.0]), np.array([0.0]))
+    assert abs(x180[0] - np.pi * reproject.R) < 1e-3
+    lon2, lat2 = reproject.reproject_points(x, y, "EPSG:3857", "EPSG:4326")
+    assert np.allclose(lon2, lon, atol=1e-9) and np.allclose(lat2, lat, atol=1e-9)
+    with pytest.raises(ValueError):
+        reproject.reproject_points(lon, lat, "EPSG:4326", "EPSG:9999")
+
+
+def test_reproject_raster_nearest_identity_and_fill():
+    src = np.arange(12, dtype=np.uint8).reshape(3, 4)
+    # identity CRS, same grid -> identical
+    out = reproject.reproject_raster_nearest(
+        src, (0.0, 1.0, 0.0, 1.0), (3, 4), (0.0, 1.0, 0.0, 1.0), "EPSG:4326", "EPSG:4326"
+    )
+    assert (out == src).all()
+    # destination extends past source -> 255 fill (reference io.py:704-706)
+    out2 = reproject.reproject_raster_nearest(
+        src, (0.0, 1.0, 0.0, 1.0), (3, 6), (0.0, 1.0, 0.0, 1.0), "EPSG:4326", "EPSG:4326"
+    )
+    assert (out2[:, :4] == src).all() and (out2[:, 4:] == 255).all()
+    # cross-CRS roundtrip keeps values (nearest-neighbor)
+    merc = reproject.reproject_raster_nearest(
+        src,
+        (0.0, 1.0, 0.0, 1.0),
+        (3, 4),
+        (0.0, 111319.49079327358, 0.0, 110579.0),
+        "EPSG:4326",
+        "EPSG:3857",
+    )
+    assert merc.shape == (3, 4) and (merc != 255).any()
+
+
+def test_resolve_attr_field():
+    assert resolve_attr_field(["a", "class", "b"], ["klass", "class"]) == "class"
+    with pytest.raises(ValueError):
+        resolve_attr_field(["a"], ["class"])
+    with pytest.raises(ValueError):
+        resolve_attr_field(["class", "klass"], ["class", "klass"])
+
+
+def test_readback_partition_pruned(spark, docs, tmp_path_factory):
+    from geotiff_tiler_spark.operators.tiling import TilingParams
+    from geotiff_tiler_spark.plans.pipeline import create_tiles
+    from geotiff_tiler_spark.sources import readers
+
+    base = str(tmp_path_factory.mktemp("readback"))
+    p = TilingParams(label_threshold=None)
+    create_tiles(spark, docs, p, f"{base}/out", f"{base}/mf")
+    trn = readers.read_tiles(spark, f"{base}/out", split="trn")
+    assert trn.count() > 0
+    assert set(r.split for r in trn.select("split").distinct().collect()) == {"trn"}
+    sample = readers.sample_tiles(spark, f"{base}/out", f"{base}/mf", max_rows=5)
+    assert 0 < sample.count() <= 5
+    idx_missing = readers.sample_tiles(
+        spark, f"{base}/out", f"{base}/mf", image_id=-1
+    )
+    assert idx_missing.count() == 0

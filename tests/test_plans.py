@@ -1,0 +1,94 @@
+"""Physical-plan assertions: the optimizations SURVEY §4 promises must
+actually appear in the executed plans (pushdown, pruning, broadcast,
+whole-stage codegen, partition pruning on the output layout)."""
+
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.operators.tiling import TilingParams, doc_points
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.filter(F.col("doc_id") > 100).select("doc_id", "lang")
+    plan = _plan(q)
+    assert "PushedFilters" in plan and "GreaterThan(doc_id,100)" in plan
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = docs.select("doc_id")
+    plan = _plan(q)
+    # ReadSchema must NOT include the wide text column
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" not in read_schema[0]
+
+
+def test_geocode_stage_fuses_into_codegen(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pts = doc_points(docs, TilingParams())
+    plan = _plan(pts)
+    # executedPlan().toString() marks whole-stage-codegen spans with "*(n)"
+    assert plan.lstrip().startswith("*(")
+    # no shuffle: the geocode/cell/pixel stage must be narrow
+    assert "Exchange" not in plan
+
+
+def test_small_dim_join_broadcasts(spark):
+    import __spark_entry__ as e
+
+    q = e.q19_top_customers(spark, SF)
+    plan = _plan(q)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_antijoin_resume_is_join_not_collect(spark):
+    from geotiff_tiler_spark.plans.manifest import Manifest
+
+    import tempfile
+
+    m = Manifest(spark, tempfile.mkdtemp(prefix="mfplan-"))
+    tiles = spark.createDataFrame(
+        [(1, 0, 0)], "image_id long, tile_x long, tile_y long"
+    )
+    pending = m.filter_pending(tiles)
+    assert "LeftAnti" in _optimized(pending)
+
+
+def test_split_partition_pruning_on_output(spark, docs, tmp_path_factory):
+    from geotiff_tiler_spark.operators import tiling
+    from geotiff_tiler_spark.plans.pipeline import create_tiles
+
+    base = str(tmp_path_factory.mktemp("prune"))
+    p = TilingParams(label_threshold=None)
+    create_tiles(spark, docs, p, f"{base}/out", f"{base}/mf")
+    out = spark.read.parquet(f"{base}/out/tiles").filter(F.col("split") == "val")
+    plan = _plan(out)
+    # manifest-as-index read path (reference visualization.py:43-58) ->
+    # partition pruning: the split filter must become a PartitionFilters
+    # entry on the scan, not a post-scan Filter
+    assert "PartitionFilters" in plan and "split" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_lsh_self_join_reuses_exchange(spark):
+    from geotiff_tiler_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dedup.minhash_signature(docs)
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_buckets(sigs))
+    pairs.count()  # AQE finalizes the plan only after execution
+    plan = _plan(pairs)
+    # two acceptable physical strategies for the bucket self-join:
+    # - big data: shuffle join with the signature exchange REUSED on both sides
+    # - small data (AQE decision): broadcast one side (recompute is cheaper
+    #   than a shuffle at this size)
+    assert "ReusedExchange" in plan or "BroadcastHashJoin" in plan
