@@ -71,8 +71,16 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
         timings[name] = round((time.time() - t0) / runs, 3)
         rows[name] = n
     total = round(time.time() - total_t0, 3)
+    spark.stop()
     # the data-bound scale workload (synthesized pages table, BASELINE.json
-    # metric shape: tiles+join-rows/sec)
+    # metric shape: tiles+join-rows/sec) — fresh session: ~80 prior jobs
+    # leave broadcast/cache residue that GC-thrashes the shared JVM
+    spark = get_spark(
+        app_name=f"bench-scale-local[{cpus}]",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 8),
+        extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")},
+    )
     scale = run_scale_workload(spark, scale_pages)
     spark.stop()
     out_rows = sum(rows.values())
