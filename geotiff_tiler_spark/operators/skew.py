@@ -1,0 +1,82 @@
+"""Skew handling: salted repartitioning + hot/cold two-path joins.
+
+The north rule calls out hot H3 cells (dense urban polygons) and popular
+domains as the skew sources. Two mechanisms, layered:
+
+1. AQE skew-join splitting — on by default in `session.get_spark`
+   (`spark.sql.adaptive.skewJoin.enabled`); handles shuffle-join skew
+   transparently by splitting oversized partitions.
+2. Explicit salting — for the cases AQE can't fix: aggregations over a hot
+   key, and joins where the skewed side must stay on one partition
+   otherwise. `salted_join` spreads each hot key over `n_salt` partitions
+   deterministically; `two_path_join` routes hot keys through the salted
+   plan and cold keys through the plain hash join, so the salt explosion
+   cost is paid ONLY for the keys that need it.
+
+All salts are deterministic (xxhash64 of stable row attributes) — results
+are reproducible, unlike rand()-based salting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def add_salt(df: DataFrame, salt_from: list[str], n_salt: int, col: str = "_salt") -> DataFrame:
+    """Deterministic salt in [0, n_salt) from stable row attributes."""
+    return df.withColumn(col, F.pmod(F.xxhash64(*[F.col(c) for c in salt_from]), F.lit(n_salt)))
+
+
+def explode_salt(df: DataFrame, n_salt: int, col: str = "_salt") -> DataFrame:
+    """Replicate the (small) build side once per salt value."""
+    return df.withColumn(col, F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))).withColumn(
+        col, F.col(col).cast("bigint")
+    )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    n_salt: int,
+    probe_salt_from: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join on `key` with the probe side spread over n_salt partitions
+    per key and the build side replicated n_salt times. Output == plain
+    join (salt column dropped)."""
+    p = add_salt(probe, probe_salt_from, n_salt)
+    b = explode_salt(build, n_salt)
+    return p.join(b, [key, "_salt"], how).drop("_salt")
+
+
+def hot_keys(df: DataFrame, key: str, min_rows: int) -> DataFrame:
+    """Keys whose row count exceeds min_rows (the explicit analog of AQE's
+    skewedPartitionThreshold): a tiny aggregate, broadcastable."""
+    return df.groupBy(key).agg(F.count(F.lit(1)).alias("_cnt")).filter(
+        F.col("_cnt") > min_rows
+    ).select(key)
+
+
+def two_path_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    n_salt: int,
+    probe_salt_from: list[str],
+    min_rows: int,
+) -> DataFrame:
+    """Hot keys -> salted join; cold keys -> plain join; union.
+
+    The hot-key set is detected from the probe side, broadcast to split
+    both inputs, and the salted path only replicates the build rows whose
+    keys are actually hot."""
+    hot = F.broadcast(hot_keys(probe, key, min_rows))
+    probe_hot = probe.join(hot, key, "left_semi")
+    probe_cold = probe.join(hot, key, "left_anti")
+    build_hot = build.join(hot, key, "left_semi")
+    build_cold = build.join(hot, key, "left_anti")
+    hot_joined = salted_join(probe_hot, build_hot, key, n_salt, probe_salt_from)
+    cold_joined = probe_cold.join(build_cold, key)
+    return hot_joined.unionByName(cold_joined.select(hot_joined.columns))
