@@ -78,3 +78,71 @@ def foreach_batch_tiler(params: TilingParams, out_dir: str, manifest_dir: str):
         manifest.append("patches", pending)
 
     return _process
+
+
+def stateful_image_stats(
+    pages: DataFrame,
+    params: TilingParams,
+    timeout_minutes: int = 60,
+):
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-image RUNNING point counts + coordinate sums across micro-batches —
+    the streaming form of the reference's running band statistics
+    (tiling_manifest.py:443-533: accumulate sums/sums-of-squares, finalize
+    mean/std), keyed by image cell with processing-time timeout.
+
+    Emits one row per (image_id, update) with the running aggregate, so a
+    downstream sink always has the latest consistent stats per image.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    pts = tiling.doc_points(pages, params).select("image_id", "px", "py")
+
+    out_schema = (
+        "image_id long, n long, sum_px double, sum_px2 double, "
+        "mean_px double, std_px double"
+    )
+    state_schema = "n long, s1 double, s2 double"
+
+    def _update(key, pdf_iter, state: GroupState):
+        import numpy as np
+        import pandas as pd
+
+        (image_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            yield pd.DataFrame(
+                columns=["image_id", "n", "sum_px", "sum_px2", "mean_px", "std_px"]
+            )
+            return
+        n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
+        for pdf in pdf_iter:
+            px = pdf["px"].to_numpy(dtype=np.float64)
+            n += len(px)
+            s1 += float(px.sum())
+            s2 += float((px * px).sum())
+        state.update((n, s1, s2))
+        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        mean = s1 / n if n else 0.0
+        var = max(s2 / n - mean * mean, 0.0) if n else 0.0
+        yield pd.DataFrame(
+            [
+                (
+                    image_id,
+                    n,
+                    s1,
+                    s2,
+                    round(mean, 6),
+                    round(var**0.5, 6),
+                )
+            ],
+            columns=["image_id", "n", "sum_px", "sum_px2", "mean_px", "std_px"],
+        )
+
+    return pts.groupBy("image_id").applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -93,3 +93,41 @@ def test_multimodal_frame_sample(spark):
 def test_real_decoder_is_stubbed():
     with pytest.raises(NotImplementedError):
         mm.decode_image_real(b"", {})
+
+
+def test_stateful_image_stats(spark, tmp_path_factory):
+    import numpy as np
+
+    base = str(tmp_path_factory.mktemp("stream3"))
+    src = f"{base}/src"
+    pg = pages.synth_pages(spark, 400)
+    pg.write.parquet(src)
+    stream = ingest.read_pages_stream(spark, src)
+    agg = ingest.stateful_image_stats(stream, P)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("imgstats")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.image_id: (r.n, r.mean_px, r.std_px)
+        for r in spark.sql(
+            "SELECT * FROM imgstats"
+        ).collect()
+    }
+    assert got
+    # oracle: batch computation of the same running stats
+    from geotiff_tiler_spark.operators.tiling import doc_points
+
+    pts = doc_points(spark.read.parquet(src), P).select("image_id", "px").toPandas()
+    for image_id, grp in pts.groupby("image_id"):
+        px = grp["px"].to_numpy(dtype=float)
+        n, mean = len(px), px.mean()
+        std = float(np.sqrt(max((px * px).mean() - mean * mean, 0.0)))
+        assert got[image_id][0] == n
+        assert abs(got[image_id][1] - round(mean, 6)) < 1e-9
+        assert abs(got[image_id][2] - round(std, 6)) < 1e-9
