@@ -576,10 +576,16 @@ def q33_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the embedding leg of the dedup ladder)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     b = emb.withColumn("bucket", similarity.sign_bucket("embedding"))
-    l = b.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), "bucket")
-    r = b.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), "bucket")
+    l = b.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
+        similarity._norm(F.col("embedding")).alias("na"), "bucket",
+    )
+    r = b.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
+        similarity._norm(F.col("embedding")).alias("nb"), "bucket",
+    )
     pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    scored = similarity.with_cosine(pairs, "va", "vb")
+    scored = similarity._with_cosine_prenormed(pairs, "va", "vb", "na", "nb")
     return scored.filter(F.col("cosine") >= 0.5).select("id_a", "id_b", "cosine")
 
 
