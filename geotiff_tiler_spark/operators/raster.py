@@ -255,3 +255,31 @@ def sdf_unnormalized(label: np.ndarray) -> np.ndarray:
 def sdf_normalize(sdf: np.ndarray, global_max_abs: float) -> np.ndarray:
     """X11 second pass: normalize by global max(|sdf|, 1) -> [-1, 1]."""
     return (sdf / max(global_max_abs, 1.0)).astype(np.float32)
+
+
+def centerline_weight_unnormalized(label: np.ndarray) -> np.ndarray:
+    """X12 first pass (reference road_targets.py:120-186): per instance, the
+    INTERIOR distance (EDT to the instance's complement) within its bbox;
+    per-pixel max-merge across instances. Returns float64; the caller
+    normalizes by the IMAGE-global max (second pass, like X11)."""
+    out = np.zeros(label.shape, dtype=np.float64)
+    for v in np.unique(label):
+        if v == 0 or v == IGNORE:
+            continue
+        inst = label == v
+        ys, xs = np.nonzero(inst)
+        pad = 1
+        y0, y1 = max(ys.min() - pad, 0), min(ys.max() + pad + 1, label.shape[0])
+        x0, x1 = max(xs.min() - pad, 0), min(xs.max() + pad + 1, label.shape[1])
+        local = inst[y0:y1, x0:x1]
+        d = edt(~local)  # distance to nearest non-instance pixel
+        d[~local] = 0.0
+        d[np.isinf(d)] = 0.0
+        out[y0:y1, x0:x1] = np.maximum(out[y0:y1, x0:x1], d)
+    return out
+
+
+def centerline_weight_normalize(weight: np.ndarray, global_max: float) -> np.ndarray:
+    """X12 second pass: scale by the global max -> uint8."""
+    scale = max(global_max, 1e-12)
+    return np.clip(weight / scale * 255.0, 0, 255).astype(np.uint8)

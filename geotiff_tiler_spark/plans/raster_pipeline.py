@@ -142,6 +142,11 @@ def compute_tile_targets(
                     payload = t.tobytes()
                     max_abs = float(np.abs(t).max())
                     nonzero = int((t != 0).sum())
+                elif kind == "centerline":
+                    t = raster.centerline_weight_unnormalized(label).astype(np.float32)
+                    payload = t.tobytes()
+                    max_abs = float(t.max())
+                    nonzero = int((t > 0).sum())
                 else:
                     raise ValueError(kind)
                 rows.append(

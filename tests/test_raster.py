@@ -159,3 +159,18 @@ def test_sdf_two_pass_normalizes_per_image(spark, label_tiles):
     for r in out:
         sdf = np.frombuffer(bytes(r.target), dtype=np.float32)
         assert np.abs(sdf).max() <= 1.0 + 1e-6
+
+
+def test_centerline_weight_peaks_at_center():
+    label = np.zeros((9, 15), dtype=np.uint8)
+    label[3:6, 1:14] = 1  # 3-px-tall horizontal bar
+    w = raster.centerline_weight_unnormalized(label)
+    # center row of the bar carries the max interior distance
+    assert w[4, 7] == w.max() > w[3, 7] > 0
+    assert w[0, 0] == 0
+    u8 = raster.centerline_weight_normalize(w, float(w.max()))
+    assert u8.max() == 255 and u8.dtype == np.uint8
+    # two instances max-merge without bleeding past bboxes
+    label[7, 1] = 2
+    w2 = raster.centerline_weight_unnormalized(label)
+    assert w2[7, 1] > 0 and (w2[4] >= w[4]).all()
