@@ -600,6 +600,20 @@ def q34_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q35_label_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/W2/W3 via the applyInPandas raster path, ORACLE-CHECKED: the
+    burned label patches' pixel statistics are recomputed relationally in
+    DuckDB (pixel winner = max burn; nodata stripe -> 255 excluded), so the
+    pandas-UDF tile materialization is verified against pure SQL."""
+    from geotiff_tiler_spark.plans.raster_pipeline import materialize_label_tiles
+
+    pts = tiling.doc_points(_docs(spark, sf_dir), P)
+    tiles = materialize_label_tiles(pts, P, class_order=["en", "fr", "de", "es"])
+    return tiles.select("image_id", "tile_x", "tile_y", "n_label_px", "n_classes")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -657,6 +671,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q32_regex_tokens": q32_regex_tokens,
         "q33_embedding_neardup": q33_embedding_neardup,
         "q34_quality_filter": q34_quality_filter,
+        "q35_label_tile_stats": q35_label_tile_stats,
     }
 
 
@@ -1078,6 +1093,26 @@ SELECT lang,
        SUM(CASE WHEN n_tokens >= 5 AND stop_ratio >= 0.01 THEN 0 ELSE 1 END) AS dropped,
        ROUND(AVG(stop_ratio), 9) AS avg_stop_ratio
 FROM q GROUP BY lang
+""",
+        "q35_label_tile_stats": f"""
+WITH {_pts_cte()},
+cls AS (
+  SELECT image_id,
+         CAST(floor(px / 112) * 112 AS BIGINT) AS tile_x,
+         CAST(floor(py / 112) * 112 AS BIGINT) AS tile_y,
+         px, py,
+         CASE lang WHEN 'en' THEN 1 WHEN 'fr' THEN 2 WHEN 'de' THEN 3 ELSE 4 END AS burn
+  FROM pts WHERE lang IN ('en', 'fr', 'de', 'es')
+),
+pix AS (
+  SELECT image_id, tile_x, tile_y, px, py, MAX(burn) AS burn,
+         ((px * 7 + py * 13) % 97 = 0) AS striped
+  FROM cls GROUP BY image_id, tile_x, tile_y, px, py
+)
+SELECT image_id, tile_x, tile_y,
+       CAST(SUM(CASE WHEN striped THEN 0 ELSE 1 END) AS BIGINT) AS n_label_px,
+       CAST(COUNT(DISTINCT CASE WHEN striped THEN NULL ELSE burn END) AS INT) AS n_classes
+FROM pix GROUP BY image_id, tile_x, tile_y
 """,
         "q24_knn": f"""
 WITH {_pts_cte()},
