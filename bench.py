@@ -44,6 +44,17 @@ HEADLINE = [
 ]
 
 
+def _last_scaling() -> dict | None:
+    """Most recent N-vs-4N measurement (tools/bench_scaling.py writes it);
+    None if no exclusive scaling run has been recorded."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "scaling.json")
+    try:
+        with open(path) as fh:
+            return json.load(fh)
+    except OSError:
+        return None
+
+
 def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -> dict:
     from geotiff_tiler_spark.plans.scale_job import run_scale_workload
 
@@ -58,8 +69,10 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
     qs = entrymod.queries()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    # JVM/codegen warmup on a trivial action
+    # JVM/codegen/parquet-reader warmup so the first timed query doesn't
+    # absorb one-time compilation costs
     spark.range(1000).count()
+    spark.read.parquet(f"{sf_dir}/documents.parquet").groupBy("lang").count().collect()
     total_t0 = time.time()
     for name in HEADLINE:
         fn = qs[name]
@@ -96,6 +109,7 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
         "throughput_rows_per_sec": round(out_rows / total, 1) if total > 0 else None,
         "scale_workload": scale,
         "tiles_join_rows_per_sec": scale["tiles_join_rows_per_sec"],
+        "scaling": _last_scaling(),
     }
 
 

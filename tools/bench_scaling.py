@@ -82,6 +82,19 @@ def main() -> None:
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
+        json.dump(
+            {
+                "n_pages": SCALE_PAGES,
+                "sec_n8": t_lo,
+                "sec_n32": t_hi,
+                "speedup": round(speedup, 3),
+                "efficiency": round(eff, 3),
+                "throughput_n8": r_lo["tiles_join_rows_per_sec"],
+                "throughput_n32": r_hi["tiles_join_rows_per_sec"],
+            },
+            fh,
+        )
     print(json.dumps({"eff": round(eff, 3), "speedup": round(speedup, 2), "lo": r_lo, "hi": r_hi}))
 
 
