@@ -260,3 +260,55 @@ def incremental_distribution_merge(
     return {
         c: old.get(c, 0.0) * k / (k + 1) + cur.get(c, 0.0) / (k + 1) for c in keys
     }
+
+
+def select_validation_cells_distributed(
+    grid_dists: DataFrame,
+    params,
+    target_dist: dict[str, float],
+    val_ratio: float,
+    strategy: str = "spatial",
+    seed: int | None = None,
+    class_balance_weight: float = 1.0,
+    spatial_weight: float = 1.0,
+) -> DataFrame:
+    """Scale path for W5/W7: the SAME greedy/random selector, run per image
+    inside applyInPandas (each group is one image's <= grid_size^2 cell
+    rows — trivially task-sized), emitting (image_id, cell_key) rows.
+
+    `select_validation_cells_for_images` collects every image's cells to
+    the driver — fine at thousands of images, impossible at billions. This
+    variant is the one the flagship pipeline uses; bit-parity with the
+    driver version is asserted in tests/test_stats.py.
+    """
+    import pandas as pd
+
+    grid_size = params.grid_size
+    total_patches = params.tiles_per_image
+
+    def _sel(pdf: pd.DataFrame) -> pd.DataFrame:
+        img = int(pdf["image_id"].iloc[0])
+        cells: dict[str, dict[str, float]] = {}
+        for _, r in pdf.iterrows():
+            cells.setdefault(f"{int(r.grid_x)}_{int(r.grid_y)}", {})[r["class"]] = float(
+                r["frac"]
+            )
+        if strategy == "random":
+            chosen = select_validation_cells_random(sorted(cells.keys()), val_ratio, seed)
+        else:
+            chosen = select_validation_cells(
+                cells,
+                grid_size,
+                total_patches,
+                target_dist,
+                val_ratio,
+                class_balance_weight,
+                spatial_weight,
+            )
+        return pd.DataFrame(
+            [(img, ck) for ck in sorted(chosen)], columns=["image_id", "cell_key"]
+        )
+
+    return grid_dists.groupBy("image_id").applyInPandas(
+        _sel, "image_id long, cell_key string"
+    )

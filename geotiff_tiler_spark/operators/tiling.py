@@ -242,3 +242,20 @@ def patch_key(tiles: DataFrame, prefix: str = "tiles") -> DataFrame:
         "patch_key",
         F.concat_ws("_", F.lit(prefix), F.col("image_id"), F.col("tile_x"), F.col("tile_y")),
     )
+
+
+def assign_split_by_cells(
+    tiles: DataFrame, params: TilingParams, val_cells: DataFrame
+) -> DataFrame:
+    """J9 split assignment against a DISTRIBUTED validation-cell table
+    (image_id, cell_key) — the scale form of `assign_split(validation_cells=dict)`:
+    a left join instead of literal isin lists, so billions of images work.
+    The val_cells side is tiny relative to tiles (<= grid^2 rows/image) and
+    usually broadcastable; Catalyst/AQE picks the strategy."""
+    t = grid_cell_of_tile(tiles, params)
+    marked = val_cells.withColumn("_is_val", F.lit(True))
+    joined = t.join(marked, ["image_id", "cell_key"], "left")
+    return joined.withColumn(
+        "split",
+        F.when(F.col("_is_val"), F.lit("val")).otherwise(F.lit("trn")),
+    ).drop("_is_val")

@@ -62,16 +62,19 @@ def create_tiles(
     grid_dists = stats.grid_cell_distributions(pts, params)
     target = stats.target_distribution(stats.class_distribution(pts))
 
-    # PHASE 2: validation cells (driver-side greedy, reference-parity)
-    val_cells = stats.select_validation_cells_for_images(
+    # PHASE 2: validation cells — the DISTRIBUTED selector (per-image greedy
+    # inside applyInPandas; each group <= grid^2 rows). The target
+    # distribution is the only collect, and it's one row per class.
+    val_cells = stats.select_validation_cells_distributed(
         grid_dists, params, target, params.val_ratio, strategy=val_strategy, seed=val_seed
     )
 
-    # PHASE 3: tiling
+    # PHASE 3: tiling; split assignment joins against the selected-cell
+    # table (no driver-side literals — works at billions of images)
     tiles = tiling.filter_patches(tiling.full_tile_grid(pts, params), params).filter(
         "keep"
     )
-    split = tiling.assign_split(tiles, params, validation_cells=val_cells)
+    split = tiling.assign_split_by_cells(tiles, params, val_cells)
     work = split.select(
         "image_id", "tile_x", "tile_y", "split", "point_cnt", "nonzero_px"
     )

@@ -89,3 +89,31 @@ def test_target_distribution_mean(spark):
     )
     got = stats.target_distribution(df)
     assert abs(got["a"] - 0.3) < 1e-12 and abs(got["b"] - 0.8) < 1e-12
+
+
+def test_distributed_selector_matches_driver(spark, docs):
+    from geotiff_tiler_spark.operators import tiling
+    from geotiff_tiler_spark.operators.tiling import TilingParams
+
+    p = TilingParams()
+    pts = tiling.doc_points(docs, p)
+    grid_dists = stats.grid_cell_distributions(pts, p)
+    target = stats.target_distribution(stats.class_distribution(pts))
+    driver = stats.select_validation_cells_for_images(grid_dists, p, target, 0.2)
+    dist = stats.select_validation_cells_distributed(grid_dists, p, target, 0.2)
+    got = {}
+    for r in dist.collect():
+        got.setdefault(r.image_id, set()).add(r.cell_key)
+    assert got == driver
+
+    # random strategy parity (seeded)
+    driver_r = stats.select_validation_cells_for_images(
+        grid_dists, p, target, 0.2, strategy="random", seed=42
+    )
+    dist_r = stats.select_validation_cells_distributed(
+        grid_dists, p, target, 0.2, strategy="random", seed=42
+    )
+    got_r = {}
+    for r in dist_r.collect():
+        got_r.setdefault(r.image_id, set()).add(r.cell_key)
+    assert got_r == driver_r
