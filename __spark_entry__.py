@@ -486,13 +486,9 @@ def q28_val_cells_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     pts = tiling.doc_points(_docs(spark, sf_dir), P)
     grid_dists = _stats.grid_cell_distributions(pts, P)
     target = _stats.target_distribution(_stats.class_distribution(pts))
-    cells = _stats.select_validation_cells_for_images(
+    return _stats.select_validation_cells_distributed(
         grid_dists, P, target, P.val_ratio
     )
-    rows = [
-        (img, ck) for img, cks in sorted(cells.items()) for ck in sorted(cks)
-    ]
-    return spark.createDataFrame(rows, "image_id long, cell_key string")
 
 
 def q29_affine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -614,6 +610,17 @@ def q35_label_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiles.select("image_id", "tile_x", "tile_y", "n_label_px", "n_classes")
 
 
+
+
+def q36_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (clustering-based scale path): deterministic k-means
+    centroids on a bounded sample, nprobe nearest-cluster probing, exact
+    cosine within probed lists. Not SQL-expressible (iterative k-means) ->
+    rows-only check; recall vs brute force asserted in tests/test_spatial.py."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivf_topk(emb, k=5, query_mod=25, n_clusters=8, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -672,6 +679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q33_embedding_neardup": q33_embedding_neardup,
         "q34_quality_filter": q34_quality_filter,
         "q35_label_tile_stats": q35_label_tile_stats,
+        "q36_ivf_ann": q36_ivf_ann,
     }
 
 

@@ -165,3 +165,113 @@ def cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
 def sign_bucket_sql(vec: str, bits: int = SIGN_BITS) -> str:
     terms = [f"CASE WHEN {vec}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)]
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the clustering-based scale path
+# ---------------------------------------------------------------------------
+
+
+def train_ivf_centroids(
+    emb, n_clusters: int = 16, n_iter: int = 10, sample: int = 4096,
+    id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
+):
+    """Deterministic Lloyd k-means on a bounded sample (driver-side numpy).
+
+    At 100 TB the sample is a fixed-size `limit` over a hash-ordered scan —
+    centroid training is O(sample), never O(data). Returns (k, dim) float64.
+    """
+    import numpy as np
+
+    rows = (
+        emb.select(id_col, vec_col)
+        .orderBy(id_col)  # deterministic sample
+        .limit(sample)
+        .collect()
+    )
+    X = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
+def ivf_assign(emb, centroids, vec_col: str = "embedding"):
+    """Nearest-centroid id per vector — centroids enter the plan as array
+    literals (broadcast by value); assignment is pure JVM expressions."""
+    best_c = F.lit(0)
+    best_d = None
+    for ci, c in enumerate(centroids):
+        arr = F.array([F.lit(float(v)) for v in c])
+        diff = F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") - y)
+        d = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
+        if best_d is None:
+            best_d = d
+            best_c = F.lit(ci)
+        else:
+            cond = d < best_d
+            best_c = F.when(cond, F.lit(ci)).otherwise(best_c)
+            best_d = F.when(cond, d).otherwise(best_d)
+    return emb.withColumn("ivf_cluster", best_c.cast("bigint"))
+
+
+def ivf_topk(
+    emb,
+    k: int = 5,
+    query_mod: int = 25,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """IVF ANN: assign every vector to its nearest centroid; probe only the
+    query's `nprobe` nearest clusters (equi-join on cluster id); exact
+    cosine within the probed lists. Recall < 1 by construction — measured
+    against `cosine_topk` in tests."""
+    import numpy as np
+    from pyspark.sql.window import Window
+
+    centroids = train_ivf_centroids(emb, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col)
+    assigned = ivf_assign(emb, centroids, vec_col)
+    c = assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+        F.col("ivf_cluster"),
+    )
+    # query probes: nprobe nearest centroids per query (small python on the
+    # driver is avoided — distances to all centroids are plan expressions,
+    # top-nprobe via posexplode + window)
+    q0 = emb.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    dists = []
+    for ci, cvec in enumerate(centroids):
+        arr = F.array([F.lit(float(v)) for v in cvec])
+        diff = F.zip_with(F.col("q_vec"), arr, lambda x, y: x.cast("double") - y)
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))
+    q = q0.select(
+        "query_id", "q_vec", "q_norm", F.posexplode(F.array(*dists)).alias("ivf_cluster", "_cdist")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cdist").asc(), F.col("ivf_cluster").asc())
+    probes = (
+        q.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", "q_vec", "q_norm", F.col("ivf_cluster").cast("bigint").alias("ivf_cluster"))
+    )
+    joined = probes.join(c, "ivf_cluster").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = _with_cosine_prenormed(joined, "q_vec", "c_vec", "q_norm", "c_norm")
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

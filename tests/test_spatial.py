@@ -133,3 +133,19 @@ def test_knn_matches_bruteforce(spark, docs):
     a = sorted((r.query_id, r.rank, r.neighbor_id) for r in ring.collect())
     b = sorted((r.query_id, r.rank, r.neighbor_id) for r in bf.collect())
     assert a == b
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark):
+    from geotiff_tiler_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, k=5, query_mod=25)
+    ivf = similarity.ivf_topk(emb, k=5, query_mod=25, n_clusters=8, nprobe=3)
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.5, recall  # ANN tradeoff: decent recall at nprobe=3/8
+    # determinism
+    got2 = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(
+        emb, k=5, query_mod=25, n_clusters=8, nprobe=3).collect()}
+    assert got == got2
