@@ -621,6 +621,35 @@ def q36_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, k=5, query_mod=25, n_clusters=8, nprobe=3)
 
 
+
+
+def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization over the events stream table (the batch
+    form of a session window): a new session starts when the gap to the
+    previous event of the same user exceeds 30 minutes. lag + cumulative
+    sum over an event-time window — pure window functions."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_timestamp("ts") - F.lag(F.unix_timestamp("ts")).over(w)
+    marked = ev.withColumn(
+        "new_session", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    sess = marked.withColumn(
+        "session_idx", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("session_value"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n_events").alias("max_session_events"),
+        F.round(F.sum("session_value"), 6).alias("total_value"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -680,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q34_quality_filter": q34_quality_filter,
         "q35_label_tile_stats": q35_label_tile_stats,
         "q36_ivf_ann": q36_ivf_ann,
+        "q37_sessionize": q37_sessionize,
     }
 
 
@@ -1121,6 +1151,29 @@ SELECT image_id, tile_x, tile_y,
        CAST(SUM(CASE WHEN striped THEN 0 ELSE 1 END) AS BIGINT) AS n_label_px,
        CAST(COUNT(DISTINCT CASE WHEN striped THEN NULL ELSE burn END) AS INT) AS n_classes
 FROM pix GROUP BY image_id, tile_x, tile_y
+""",
+        "q37_sessionize": """
+WITH marked AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+              OR LAG(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sess AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM marked
+),
+per_session AS (
+  SELECT user_id, session_idx, COUNT(*) AS n_events,
+         ROUND(SUM(value), 6) AS session_value
+  FROM sess GROUP BY 1, 2
+)
+SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
+       ROUND(SUM(session_value), 6) AS total_value
+FROM per_session GROUP BY user_id
 """,
         "q24_knn": f"""
 WITH {_pts_cte()},
