@@ -41,6 +41,9 @@ HEADLINE = [
     "q22_bounds_overlap",
     "q23_point_in_box",
     "q24_knn",
+    "q34_quality_filter",
+    "q35_label_tile_stats",
+    "q37_sessionize",
 ]
 
 

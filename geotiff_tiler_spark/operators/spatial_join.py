@@ -151,25 +151,27 @@ def point_in_polygon_join(
         xs = pts_pdf["lon"].to_numpy(dtype=np.float64)
         ys = pts_pdf["lat"].to_numpy(dtype=np.float64)
         out_doc, out_feat, out_cls = [], [], []
-        # group points by candidate polygon: probe the tree per point batch
-        # (points per cell are bounded by the cell partitioning)
         wkbs = polys_pdf["wkb"].to_list()
         feats = polys_pdf["feature_id"].to_numpy()
         classes = polys_pdf["class"].to_list()
-        # collect candidate pairs via per-point box query, then batch the
-        # ray cast per polygon (vectorized over that polygon's points)
-        cand: dict[int, list[int]] = {}
-        for i in range(len(xs)):
-            for j in tree.query_point(xs[i], ys[i]):
-                cand.setdefault(int(j), []).append(i)
-        for j, idxs in cand.items():
-            ia = np.asarray(idxs, dtype=np.int64)
-            inside = _st.points_in_wkb(xs[ia], ys[ia], wkbs[j])
+        doc_ids = pts_pdf["doc_id"].to_numpy()
+        # FILTER: one STRtree probe with the point batch's bbox prunes the
+        # cell's polygons to candidates; REFINE: per candidate polygon,
+        # bbox mask + ray cast VECTORIZED over all points — the Python loop
+        # count is O(candidate polygons), never O(points)
+        cand_polys = tree.query_box(xs.min(), ys.min(), xs.max(), ys.max())
+        for j in cand_polys:
+            b = boxes[j]
+            mask = (xs >= b[0]) & (xs <= b[2]) & (ys >= b[1]) & (ys <= b[3])
+            if not mask.any():
+                continue
+            ia = np.nonzero(mask)[0]
+            inside = _st.points_in_wkb(xs[ia], ys[ia], wkbs[int(j)])
             hit = ia[inside]
             if len(hit):
-                out_doc.extend(pts_pdf["doc_id"].to_numpy()[hit].tolist())
+                out_doc.extend(doc_ids[hit].tolist())
                 out_feat.extend([int(feats[j])] * len(hit))
-                out_cls.extend([classes[j]] * len(hit))
+                out_cls.extend([classes[int(j)]] * len(hit))
         return pd.DataFrame(
             {"doc_id": out_doc, "feature_id": out_feat, "class": out_cls}
         )
