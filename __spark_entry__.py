@@ -650,6 +650,31 @@ def q37_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q38_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup over the cell index: doc counts at res 6 rolled
+    up to res 3 and res 1 via parent-cell arithmetic — the multi-resolution
+    aggregation pattern (hypertable rollup analog). Parent counts must
+    equal the sum of their children (asserted by the oracle)."""
+    docs = _docs(spark, sf_dir)
+    pts = docs.withColumn("lon", geo.geo_lon(F.col("text"))).withColumn(
+        "lat", geo.geo_lat(F.col("text"))
+    )
+    fine = pts.withColumn("cell6", geo.cell_id("lon", "lat", 6))
+    agg6 = fine.groupBy("cell6").agg(F.count(F.lit(1)).alias("n"))
+    agg3 = agg6.withColumn("cell3", geo.parent_cell("cell6", 6, 3)).groupBy(
+        "cell3"
+    ).agg(F.sum("n").alias("n"))
+    agg1 = agg3.withColumn("cell1", geo.parent_cell("cell3", 3, 1)).groupBy(
+        "cell1"
+    ).agg(F.sum("n").alias("n"))
+    return (
+        agg3.select(F.lit(3).alias("res"), F.col("cell3").alias("cell"), "n")
+        .unionByName(agg1.select(F.lit(1).alias("res"), F.col("cell1").alias("cell"), "n"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -710,6 +735,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q35_label_tile_stats": q35_label_tile_stats,
         "q36_ivf_ann": q36_ivf_ann,
         "q37_sessionize": q37_sessionize,
+        "q38_cell_rollup": q38_cell_rollup,
     }
 
 
@@ -1174,6 +1200,29 @@ per_session AS (
 SELECT user_id, COUNT(*) AS n_sessions, MAX(n_events) AS max_session_events,
        ROUND(SUM(session_value), 6) AS total_value
 FROM per_session GROUP BY user_id
+""",
+        "q38_cell_rollup": f"""
+WITH fine AS (
+  SELECT (CAST(6 AS BIGINT) * 18014398509481984 + (LEAST(GREATEST(CAST(floor((((('0x' || substr(md5(text), 1, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0 * 360.0 - 180.0) + 180.0) / 360.0 * 64.0) AS BIGINT), 0), 63)) * 134217728 + (LEAST(GREATEST(CAST(floor((((('0x' || substr(md5(text), 17, 15))::BIGINT % 4294967296)::DOUBLE / 4294967296.0 * 180.0 - 90.0) + 90.0) / 180.0 * 64.0) AS BIGINT), 0), 63))) AS cell6 FROM documents
+),
+agg6 AS (SELECT cell6, COUNT(*) AS n FROM fine GROUP BY cell6),
+agg3 AS (
+  SELECT CAST(3 AS BIGINT) * 18014398509481984
+         + CAST(floor(CAST(floor(cell6 % 18014398509481984 / 134217728) AS BIGINT) / 8) AS BIGINT) * 134217728
+         + CAST(floor((cell6 % 134217728) / 8) AS BIGINT) AS cell3,
+         SUM(n) AS n
+  FROM agg6 GROUP BY 1
+),
+agg1 AS (
+  SELECT CAST(1 AS BIGINT) * 18014398509481984
+         + CAST(floor(CAST(floor(cell3 % 18014398509481984 / 134217728) AS BIGINT) / 4) AS BIGINT) * 134217728
+         + CAST(floor((cell3 % 134217728) / 4) AS BIGINT) AS cell1,
+         SUM(n) AS n
+  FROM agg3 GROUP BY 1
+)
+SELECT 3 AS res, cell3 AS cell, n FROM agg3
+UNION ALL
+SELECT 1 AS res, cell1 AS cell, n FROM agg1
 """,
         "q24_knn": f"""
 WITH {_pts_cte()},
