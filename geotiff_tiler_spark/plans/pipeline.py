@@ -49,13 +49,35 @@ def create_tiles(
     val_strategy: str = "spatial",
     val_seed: int | None = 42,
     limit_tiles: int | None = None,
+    validate: bool = False,
+    max_records_per_file: int | None = None,
 ) -> TilingRun:
     """Run the full pipeline; returns commit summary.
 
     limit_tiles simulates a mid-job kill for resume tests: only the first
     N pending tiles (deterministic order) are processed and committed.
+    validate=True runs the S7 validation stage first and quarantines
+    invalid rows into the manifest (as data, not exceptions).
+    max_records_per_file bounds output shard size (K2 rotation analog).
     """
     manifest = Manifest(spark, manifest_dir)
+
+    # PHASE 0: validation -> quarantine (reference process_single_pair's
+    # validate_* stages, io.py:177-235; failures land in the manifest the
+    # way failed_images does, tiler.py:427-439)
+    if validate:
+        from geotiff_tiler_spark.sources import checks
+
+        validated = checks.validate_pages(docs)
+        docs, quarantine = checks.split_quarantine(validated)
+        if not quarantine.isEmpty():
+            qrows = quarantine.select(
+                F.col("doc_id").alias("image_id"),
+                F.lit("failed").alias("status"),
+                F.lit(0).cast("bigint").alias("kept"),
+                F.lit(0).cast("bigint").alias("discarded"),
+            )
+            manifest.append("images", qrows)
 
     # PHASE 1: analysis aggregates
     pts = tiling.doc_points(docs, params)
@@ -90,10 +112,13 @@ def create_tiles(
     if n_pending == 0:
         return TilingRun(kept=0, skipped_resume=skipped, images=0, commit_id=None)
 
-    # WRITE: partitioned by split (K1); shard registry derived from files (K2)
-    pending.write.mode("append").partitionBy("split").parquet(
-        os.path.join(out_dir, "tiles")
-    )
+    # WRITE: partitioned by split (K1); shard rotation via
+    # maxRecordsPerFile (K2 - the reference's 2 GiB cap expressed as the
+    # engine-level file-size bound); registry derived from committed files
+    writer = pending.write.mode("append").partitionBy("split")
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.parquet(os.path.join(out_dir, "tiles"))
     commit_id = manifest.append("patches", pending)
 
     # per-image status rows (completed only when not truncated by the kill)

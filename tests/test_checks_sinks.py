@@ -92,3 +92,37 @@ def test_csv_index_and_stats_json(spark, docs, tmp_path_factory):
     on_disk = json.load(open(path))
     assert on_disk["n_rows"] == payload["n_rows"] > 0
     assert {"image_id", "n", "mean_v", "std_v"} <= set(on_disk["normalization_stats"][0])
+
+
+def test_pipeline_validate_quarantines(spark, tmp_path_factory):
+    from pyspark.sql import functions as F2
+
+    base = str(tmp_path_factory.mktemp("pq"))
+    good = pages.synth_pages(spark, 100).select("doc_id", "url", "warc_ts", "text", "lang")
+    bad = spark.createDataFrame(
+        [(100000, "u", "2024-01-01 00:00:00", "", "en")],
+        "doc_id long, url string, warc_ts string, text string, lang string",
+    ).withColumn("warc_ts", F2.col("warc_ts").cast("timestamp"))
+    docs = good.unionByName(bad)
+    run = pipeline.create_tiles(spark, docs, P, f"{base}/out", f"{base}/mf", validate=True)
+    assert run.kept > 0
+    m = Manifest(spark, f"{base}/mf")
+    failed = {r.image_id for r in m.failed_images().collect()}
+    assert 100000 in failed
+
+
+def test_shard_rotation_max_records(spark, docs, tmp_path_factory):
+    import os as _os
+
+    base = str(tmp_path_factory.mktemp("shards"))
+    run = pipeline.create_tiles(
+        spark, docs, P, f"{base}/out", f"{base}/mf", max_records_per_file=3
+    )
+    assert run.kept > 6
+    m = Manifest(spark, f"{base}/mf")
+    shards = m.read("shards")
+    # rotation: many small files, none holding more than ~3 records
+    n_files = shards.count()
+    assert n_files >= run.kept / 3 / 4  # per-split and per-task splits vary
+    tiles = spark.read.parquet(f"{base}/out/tiles")
+    assert tiles.count() == run.kept

@@ -131,3 +131,43 @@ def test_readback_partition_pruned(spark, docs, tmp_path_factory):
         spark, f"{base}/out", f"{base}/mf", image_id=-1
     )
     assert idx_missing.count() == 0
+
+
+def test_export_tile_vectors(spark, docs):
+    import json as _json
+
+    from geotiff_tiler_spark.operators import strtree as _st, tiling
+    from geotiff_tiler_spark.operators.tiling import TilingParams
+    from geotiff_tiler_spark.plans.vector_export import export_tile_vectors
+    from geotiff_tiler_spark.sources.labels import label_polygons
+
+    p = TilingParams(label_threshold=None)
+    pts = tiling.doc_points(docs, p)
+    tiles = tiling.filter_patches(tiling.full_tile_grid(pts, p), p).filter("keep")
+    polys = label_polygons(spark, n=60)
+    out = export_tile_vectors(tiles, polys, p).collect()
+    assert out
+    n = 1 << p.image_res
+    cw, ch = 360.0 / n, 180.0 / n
+    ax, ay = cw / p.width, ch / p.height
+    from geotiff_tiler_spark.functions import geo as _geo
+
+    for r in out[:50]:
+        obj = _json.loads(r.geojson)
+        assert obj["type"] == "Feature"
+        assert obj["properties"]["is_truncated"] == r.is_truncated
+        # geometry must lie within the tile's geo box (+snap tolerance)
+        coords = obj["geometry"]["coordinates"]
+        rings = coords if obj["geometry"]["type"] == "Polygon" else [c for p_ in coords for c in p_]
+        ix = (r.image_id % (1 << 54)) // (1 << 27)
+        iy = r.image_id % (1 << 27)
+        x0 = ix * cw - 180.0 + r.tile_x * ax
+        y0 = iy * ch - 90.0 + r.tile_y * ay
+        x1, y1 = x0 + p.patch_w * ax, y0 + p.patch_h * ay
+        for ring in rings:
+            for x, y in ring:
+                assert x0 - 0.011 <= x <= x1 + 0.011
+                assert y0 - 0.011 <= y <= y1 + 0.011
+    # truncation sanity: at least one truncated and (usually) one untouched
+    flags = {r.is_truncated for r in out}
+    assert True in flags
