@@ -201,3 +201,96 @@ def sdf_normalized(tiles: DataFrame, params: TilingParams) -> DataFrame:
             )
 
     return joined.mapInPandas(_norm, TARGET_SCHEMA)
+
+
+IMAGE_TILE_SCHEMA = (
+    "image_id long, tile_x long, tile_y long, split string, bands binary, "
+    "n_bands int, b_sum0 double, b_sum_sq0 double, b_sum1 double, b_sum_sq1 double, "
+    "b_sum2 double, b_sum_sq2 double, n_px long"
+)
+
+
+def synth_band_value(band: int, gx, gy):
+    """Deterministic per-pixel band value (uint8) from global pixel coords —
+    the synthetic stand-in for the reference's raster payload. numpy arrays
+    in, numpy array out."""
+    import numpy as np
+
+    return ((gx * (3 + band) + gy * (7 + band) + band * 31) % 256).astype(np.uint8)
+
+
+def materialize_image_tiles(
+    kept_tiles: DataFrame, params: TilingParams, n_bands: int = 3
+) -> DataFrame:
+    """The image-patch analog (reference tiler.py:806-823): materialize the
+    CHW band payload ONLY for tiles that already passed the label filter —
+    the reference's late-materialization order (label window first, filter,
+    only then the wider image read, tiler.py:799-817) expressed as plan
+    topology: this stage consumes filter_patches(...).filter('keep') output.
+
+    Emits per-band sum / sum-of-squares so running band statistics (A4)
+    aggregate WITHOUT re-reading payloads (partial agg rides the write).
+    """
+    import numpy as np
+
+    pw, ph = params.patch_w, params.patch_h
+
+    def _mat(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                tx, ty = int(r["tile_x"]), int(r["tile_y"])
+                gx = np.add.outer(np.zeros(ph, dtype=np.int64), np.arange(pw)) + tx
+                gy = np.add.outer(np.arange(ph, dtype=np.int64), np.zeros(pw, dtype=np.int64)) + ty
+                bands = np.stack(
+                    [synth_band_value(b, gx, gy) for b in range(n_bands)]
+                )  # CHW
+                sums = [float(bands[b].astype(np.float64).sum()) for b in range(n_bands)]
+                sqs = [
+                    float((bands[b].astype(np.float64) ** 2).sum()) for b in range(n_bands)
+                ]
+                while len(sums) < 3:
+                    sums.append(0.0)
+                    sqs.append(0.0)
+                rows.append(
+                    (
+                        int(r["image_id"]), tx, ty, r["split"], bands.tobytes(), n_bands,
+                        sums[0], sqs[0], sums[1], sqs[1], sums[2], sqs[2], pw * ph,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "image_id", "tile_x", "tile_y", "split", "bands", "n_bands",
+                    "b_sum0", "b_sum_sq0", "b_sum1", "b_sum_sq1", "b_sum2", "b_sum_sq2", "n_px",
+                ],
+            )
+
+    return kept_tiles.select("image_id", "tile_x", "tile_y", "split").mapInPandas(
+        _mat, IMAGE_TILE_SCHEMA
+    )
+
+
+def band_normalization_stats(image_tiles: DataFrame, n_bands: int = 3) -> DataFrame:
+    """A4 over trn patches ONLY (reference accumulates running band stats
+    for training patches, tiling_manifest.py:443-486): partial sums carried
+    on the tile rows -> single final aggregate -> mean/std per band."""
+    trn = image_tiles.filter(F.col("split") == "trn")
+    aggs = [F.sum("n_px").alias("n"), F.count(F.lit(1)).alias("patch_count")]
+    for b in range(n_bands):
+        aggs += [
+            F.sum(f"b_sum{b}").alias(f"s1_{b}"),
+            F.sum(f"b_sum_sq{b}").alias(f"s2_{b}"),
+        ]
+    agg = trn.agg(*aggs)
+    cols = [F.col("n"), F.col("patch_count")]
+    for b in range(n_bands):
+        mean = F.col(f"s1_{b}") / F.col("n")
+        var = F.greatest(F.col(f"s2_{b}") / F.col("n") - mean * mean, F.lit(0.0))
+        cols += [
+            F.round(mean, 6).alias(f"mean_band{b}"),
+            F.round(F.sqrt(var), 6).alias(f"std_band{b}"),
+        ]
+    return agg.select(*cols)

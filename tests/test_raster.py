@@ -174,3 +174,39 @@ def test_centerline_weight_peaks_at_center():
     label[7, 1] = 2
     w2 = raster.centerline_weight_unnormalized(label)
     assert w2[7, 1] > 0 and (w2[4] >= w[4]).all()
+
+
+def test_image_tiles_and_band_stats(spark, docs):
+    from pyspark.sql import functions as F
+
+    from geotiff_tiler_spark.operators import tiling
+    from geotiff_tiler_spark.operators.tiling import TilingParams
+    from geotiff_tiler_spark.plans.raster_pipeline import (
+        band_normalization_stats,
+        materialize_image_tiles,
+        synth_band_value,
+    )
+
+    p = TilingParams(label_threshold=None)
+    pts = tiling.doc_points(docs, p)
+    kept = tiling.assign_split(
+        tiling.filter_patches(tiling.full_tile_grid(pts, p), p).filter("keep"), p
+    )
+    tiles = materialize_image_tiles(kept, p).cache()
+    assert tiles.count() == kept.count()  # only kept tiles materialized
+    r = tiles.first()
+    bands = np.frombuffer(bytes(r.bands), dtype=np.uint8).reshape(3, p.patch_h, p.patch_w)
+    gx = np.add.outer(np.zeros(p.patch_h, dtype=np.int64), np.arange(p.patch_w)) + r.tile_x
+    gy = np.add.outer(np.arange(p.patch_h, dtype=np.int64), np.zeros(p.patch_w, dtype=np.int64)) + r.tile_y
+    assert (bands[1] == synth_band_value(1, gx, gy)).all()
+    assert abs(r.b_sum0 - bands[0].astype(np.float64).sum()) < 1e-6
+
+    stats_row = band_normalization_stats(tiles).collect()[0]
+    # numpy oracle over all trn patches
+    trn = tiles.filter(F.col("split") == "trn").collect()
+    allpx = np.concatenate(
+        [np.frombuffer(bytes(t.bands), dtype=np.uint8).reshape(3, -1)[0] for t in trn]
+    ).astype(np.float64)
+    assert stats_row.n == len(allpx)
+    assert abs(stats_row.mean_band0 - round(float(allpx.mean()), 6)) < 1e-6
+    assert abs(stats_row.std_band0 - round(float(allpx.std()), 6)) < 1e-6
