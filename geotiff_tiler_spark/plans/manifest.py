@@ -164,3 +164,28 @@ class Manifest:
                 f"shard records ({shard_records}) != patch rows ({patch_total})"
             )
         return issues
+
+
+def split_ratio_stats(patches: "DataFrame") -> dict[str, float]:
+    """Actual split ratios from committed patches (A10 input; reference
+    tiling_manifest.py:394-420 keeps these in dataset_statistics)."""
+    rows = patches.groupBy("split").count().collect()
+    total = sum(r["count"] for r in rows) or 1
+    return {r["split"]: r["count"] / total for r in rows}
+
+
+def is_split_ratio_drifting(ratios: dict[str, float], threshold: float = 0.03) -> bool:
+    """Reference tiling_manifest.py:544-555: |trn - 0.8| > threshold."""
+    if not ratios:
+        return False
+    return abs(ratios.get("trn", 0.0) - 0.8) > threshold
+
+
+def get_adjusted_val_ratio(ratios: dict[str, float], default_ratio: float = 0.2) -> float:
+    """Reference tiling_manifest.py:556-569 verbatim: too many val samples
+    -> ratio - 0.05 clamped >= 0.1; too few -> ratio + 0.05 clamped <= 0.3."""
+    if not is_split_ratio_drifting(ratios):
+        return default_ratio
+    if ratios.get("val", 0.0) > 0.2:
+        return max(0.1, default_ratio - 0.05)
+    return min(0.3, default_ratio + 0.05)

@@ -89,3 +89,26 @@ def test_consistency_report_detects_mismatch(spark, tmp_path_factory):
     m.append("images", images)  # claims 5 kept but only 1 patch row
     issues = m.consistency_report()
     assert len(issues) == 1 and "!=" in issues[0]
+
+
+def test_drift_controller_between_runs(spark, docs, tmp_path_factory):
+    """A10/R7: the controller reads committed split ratios and adjusts the
+    next run's val_ratio exactly like the reference (tiler.py:280 consumes
+    get_validation_ratio between runs)."""
+    from geotiff_tiler_spark.plans import manifest as mf
+
+    base = str(tmp_path_factory.mktemp("drift"))
+    create_tiles(spark, docs, P, f"{base}/out", f"{base}/mf")
+    m = Manifest(spark, f"{base}/mf")
+    ratios = mf.split_ratio_stats(m.read("patches"))
+    assert abs(sum(ratios.values()) - 1.0) < 1e-9
+    adjusted = mf.get_adjusted_val_ratio(ratios, default_ratio=P.val_ratio)
+    if mf.is_split_ratio_drifting(ratios):
+        assert adjusted != P.val_ratio and 0.1 <= adjusted <= 0.3
+    else:
+        assert adjusted == P.val_ratio
+    # truth table (reference tiling_manifest.py:556-569)
+    assert abs(mf.get_adjusted_val_ratio({"trn": 0.7, "val": 0.3}) - 0.15) < 1e-12
+    assert abs(mf.get_adjusted_val_ratio({"trn": 0.9, "val": 0.1}) - 0.25) < 1e-12
+    assert mf.get_adjusted_val_ratio({"trn": 0.81, "val": 0.19}) == 0.2
+    assert mf.get_adjusted_val_ratio({"trn": 0.7, "val": 0.3}, default_ratio=0.12) == 0.1

@@ -92,3 +92,13 @@ def test_lsh_self_join_reuses_exchange(spark):
     # - small data (AQE decision): broadcast one side (recompute is cheaper
     #   than a shuffle at this size)
     assert "ReusedExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_point_in_box_join_broadcasts_small_side(spark):
+    import __spark_entry__ as e
+
+    q = e.q23_point_in_box(spark, SF)
+    q.count()  # let AQE finalize
+    plan = _plan(q)
+    # the exploded label-box side is small -> AQE should broadcast it
+    assert "BroadcastHashJoin" in plan or "BroadcastQueryStage" in plan
