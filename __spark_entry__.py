@@ -689,7 +689,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """
     sf_dir = "/root/testdata/sf0.001"
     pts = tiling.doc_points(_docs(spark, sf_dir), P)
-    tiles = tiling.filter_patches(tiling.full_tile_grid(pts, P), P).filter("keep")
+    tiles = tiling.kept_tiles(pts, P)
     split = tiling.assign_split(tiles, P, validation_cells=None)
     return tiling.patch_key(split).select(
         "patch_key", "image_id", "tile_x", "tile_y", "point_cnt", "nonzero_px", "split"

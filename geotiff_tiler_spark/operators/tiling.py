@@ -259,3 +259,17 @@ def assign_split_by_cells(
         "split",
         F.when(F.col("_is_val"), F.lit("val")).otherwise(F.lit("trn")),
     ).drop("_is_val")
+
+
+def kept_tiles(points: DataFrame, params: TilingParams) -> DataFrame:
+    """Fast path for the output pipeline: when discard_empty is set, every
+    kept tile has label pixels, so it MUST appear in the per-tile stats —
+    the full-grid left join (distinct images + grid explode + 3-way
+    shuffle alignment) exists only to count discarded tiles. This path
+    filters the stats aggregate directly: identical kept set, two fewer
+    shuffles. Falls back to the grid join when empty tiles can be kept."""
+    if not params.discard_empty and params.label_threshold in (None, 0):
+        return filter_patches(full_tile_grid(points, params), params).filter("keep")
+    assigned = assign_tiles(points, params)
+    stats = tile_label_stats(assigned, params)
+    return filter_patches(stats, params).filter("keep")

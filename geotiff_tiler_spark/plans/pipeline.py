@@ -93,9 +93,7 @@ def create_tiles(
 
     # PHASE 3: tiling; split assignment joins against the selected-cell
     # table (no driver-side literals — works at billions of images)
-    tiles = tiling.filter_patches(tiling.full_tile_grid(pts, params), params).filter(
-        "keep"
-    )
+    tiles = tiling.kept_tiles(pts, params)
     split = tiling.assign_split_by_cells(tiles, params, val_cells)
     work = split.select(
         "image_id", "tile_x", "tile_y", "split", "point_cnt", "nonzero_px"

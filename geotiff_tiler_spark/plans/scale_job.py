@@ -56,9 +56,7 @@ def run_scale_workload(spark: SparkSession, n_pages: int, n_boxes: int = 20000) 
 
     # tiling pipeline (geocode runs md5 over extracted text — data-bound)
     pts = tiling.doc_points(docs, SCALE_PARAMS)
-    tiles = tiling.filter_patches(
-        tiling.full_tile_grid(pts, SCALE_PARAMS), SCALE_PARAMS
-    ).filter("keep")
+    tiles = tiling.kept_tiles(pts, SCALE_PARAMS)
     split = tiling.assign_split(tiles, SCALE_PARAMS, validation_cells=None)
     n_tiles = split.count()
     t_tiles = time.time()
