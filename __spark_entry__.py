@@ -10,6 +10,12 @@ Naming: q{NN}_{operator} maps to SURVEY.md §2 ids in each docstring.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# the engine package lives next to this file; make imports CWD-independent
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
