@@ -818,7 +818,9 @@ FROM pts GROUP BY image_id
 """,
         "q02_stride_grid": f"""
 WITH {_pts_cte()}, {_grid_cte()}
-SELECT image_id, COUNT(*) AS n_tiles, SUM(tile_x) AS sum_x, SUM(tile_y) AS sum_y
+SELECT image_id, COUNT(*) AS n_tiles,
+       CAST(SUM(tile_x) AS BIGINT) AS sum_x,
+       CAST(SUM(tile_y) AS BIGINT) AS sum_y
 FROM grid GROUP BY image_id
 """,
         "q03_tile_assign": f"""
@@ -828,8 +830,8 @@ SELECT image_id, tile_x, tile_y, point_cnt, nonzero_px FROM stats
         "q04_patch_filter": f"""
 WITH {_pts_cte()}, {_grid_cte()}, {_stats_cte()}, {_tiles_cte()}
 SELECT image_id,
-       SUM(CASE WHEN {_keep_sql()} THEN 1 ELSE 0 END) AS kept,
-       SUM(CASE WHEN {_keep_sql()} THEN 0 ELSE 1 END) AS discarded
+       CAST(SUM(CASE WHEN {_keep_sql()} THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(SUM(CASE WHEN {_keep_sql()} THEN 0 ELSE 1 END) AS BIGINT) AS discarded
 FROM tiles GROUP BY image_id
 """,
         "q05_split_assign": f"""
@@ -847,7 +849,7 @@ splits AS (
          THEN 'val' ELSE 'trn' END AS split
   FROM cells
 )
-SELECT split, COUNT(*) AS n_tiles, SUM(point_cnt) AS points
+SELECT split, COUNT(*) AS n_tiles, CAST(SUM(point_cnt) AS BIGINT) AS points
 FROM splits GROUP BY split
 """,
         "q06_band_stats": """
@@ -893,17 +895,17 @@ FROM groups GROUP BY dup_cnt
 """,
         "q10_minhash_sig": _q10_oracle(),
         "q11_lsh_jaccard": _q11_oracle(),
-        "q12_simhash": """
+        "q12_simhash": r"""
 SELECT doc_id,
        CAST(CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 64) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 64 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 128) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 128 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 256) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 256 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 512) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 512 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1024) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1024 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2048) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2048 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4096) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4096 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8192) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8192 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16384) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16384 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32768) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32768 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 65536) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 65536 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 131072) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 131072 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 262144) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 262144 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 524288) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 524288 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1048576) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1048576 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2097152) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2097152 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4194304) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4194304 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8388608) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8388608 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16777216) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16777216 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 33554432) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 33554432 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 67108864) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 67108864 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 134217728) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 134217728 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 268435456) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 268435456 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 536870912) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 536870912 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1073741824) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1073741824 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2147483648) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2147483648 ELSE 0 END AS BIGINT) AS simhash,
        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
 FROM documents
 """,
-        "q13_langid": """
+        "q13_langid": r"""
 SELECT lang, CASE WHEN GREATEST(CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('le', 'la', 'et', 'de', 'un', 'une', 'est'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('el', 'la', 'y', 'de', 'un', 'una', 'es'))) AS BIGINT)) = 0 THEN 'und' WHEN CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT) = GREATEST(CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('le', 'la', 'et', 'de', 'un', 'une', 'est'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('el', 'la', 'y', 'de', 'un', 'una', 'es'))) AS BIGINT)) THEN 'en' WHEN CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('le', 'la', 'et', 'de', 'un', 'une', 'est'))) AS BIGINT) = GREATEST(CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('le', 'la', 'et', 'de', 'un', 'une', 'est'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('el', 'la', 'y', 'de', 'un', 'una', 'es'))) AS BIGINT)) THEN 'fr' WHEN CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS BIGINT) = GREATEST(CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('le', 'la', 'et', 'de', 'un', 'une', 'est'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('el', 'la', 'y', 'de', 'un', 'una', 'es'))) AS BIGINT)) THEN 'de' WHEN CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('el', 'la', 'y', 'de', 'un', 'una', 'es'))) AS BIGINT) = GREATEST(CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('the', 'a', 'and', 'of', 'to', 'in', 'is'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('le', 'la', 'et', 'de', 'un', 'une', 'est'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('der', 'die', 'das', 'und', 'ist', 'ein', 'zu'))) AS BIGINT), CAST(len(list_filter(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> x IN ('el', 'la', 'y', 'de', 'un', 'una', 'es'))) AS BIGINT)) THEN 'es' ELSE 'und' END AS pred_lang, COUNT(*) AS n
 FROM documents GROUP BY 1, 2
 """,
-        "q14_quality": """
+        "q14_quality": r"""
 SELECT doc_id,
        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
        CAST(length(text) - length(regexp_replace(text, '[.!?,;:]', '', 'g')) AS BIGINT) AS punct_cnt,
@@ -911,7 +913,7 @@ SELECT doc_id,
        CAST(list_sum(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), x -> length(x))) AS BIGINT) AS tok_chars
 FROM documents
 """,
-        "q15_fingerprint": """
+        "q15_fingerprint": r"""
 SELECT doc_id,
        COALESCE(list_min(list_transform(list_transform(generate_series(1, GREATEST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) - 2, 0)), i -> array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), i, i + 2), ' ')), s -> ('0x' || substr(md5('0:' || s), 1, 15))::BIGINT)), 0) AS fingerprint,
        CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
@@ -1062,7 +1064,8 @@ splits AS (
   FROM cells
 ),
 agg AS (
-  SELECT SUM(CASE WHEN split = 'trn' THEN 1 ELSE 0 END) AS trn, COUNT(*) AS total
+  SELECT CAST(SUM(CASE WHEN split = 'trn' THEN 1 ELSE 0 END) AS BIGINT) AS trn,
+         COUNT(*) AS total
   FROM splits
 )
 SELECT trn, total, ROUND(trn::DOUBLE / total, 9) AS trn_ratio,
@@ -1135,7 +1138,8 @@ WITH per AS (
          CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens
   FROM documents
 )
-SELECT lang, SUM(n_bpe_tokens) AS total_tokens, MAX(n_bpe_tokens) AS max_tokens,
+SELECT lang, CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_tokens,
+       MAX(n_bpe_tokens) AS max_tokens,
        COUNT(*) AS n_docs
 FROM per GROUP BY lang
 """,
@@ -1151,7 +1155,7 @@ SELECT id_a, id_b, ROUND(CASE WHEN sqrt(list_sum(list_transform(generate_series(
 FROM pairs
 WHERE ROUND(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (va[i]::DOUBLE)))) > 0 AND sqrt(list_sum(list_transform(generate_series(1, 64), i -> (vb[i]::DOUBLE) * (vb[i]::DOUBLE)))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (vb[i]::DOUBLE)))) / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (va[i]::DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1, 64), i -> (vb[i]::DOUBLE) * (vb[i]::DOUBLE))))) ELSE 0.0 END, 6) >= 0.5
 """,
-        "q34_quality_filter": f"""
+        "q34_quality_filter": r"""
 WITH q AS (
   SELECT doc_id, lang,
          CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
@@ -1159,8 +1163,8 @@ WITH q AS (
   FROM documents
 )
 SELECT lang,
-       SUM(CASE WHEN n_tokens >= 5 AND stop_ratio >= 0.01 THEN 1 ELSE 0 END) AS kept,
-       SUM(CASE WHEN n_tokens >= 5 AND stop_ratio >= 0.01 THEN 0 ELSE 1 END) AS dropped,
+       CAST(SUM(CASE WHEN n_tokens >= 5 AND stop_ratio >= 0.01 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+       CAST(SUM(CASE WHEN n_tokens >= 5 AND stop_ratio >= 0.01 THEN 0 ELSE 1 END) AS BIGINT) AS dropped,
        ROUND(AVG(stop_ratio), 9) AS avg_stop_ratio
 FROM q GROUP BY lang
 """,
@@ -1226,9 +1230,9 @@ agg1 AS (
          SUM(n) AS n
   FROM agg3 GROUP BY 1
 )
-SELECT 3 AS res, cell3 AS cell, n FROM agg3
+SELECT 3 AS res, cell3 AS cell, CAST(n AS BIGINT) AS n FROM agg3
 UNION ALL
-SELECT 1 AS res, cell1 AS cell, n FROM agg1
+SELECT 1 AS res, cell1 AS cell, CAST(n AS BIGINT) AS n FROM agg1
 """,
         "q24_knn": f"""
 WITH {_pts_cte()},

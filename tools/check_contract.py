@@ -74,8 +74,36 @@ def main() -> int:
             continue
         ores = con.execute(oracles[name])
         ocols = [d[0] for d in ores.description]
+        otypes = {d[0]: str(d[1]) for d in ores.description}
         orows = ores.fetchall()
         ok_cols = sorted(scols) == sorted(ocols)
+        # the driver's value hash is TYPE-sensitive: DuckDB promoting an
+        # integer SUM to HUGEINT/DECIMAL breaks it even when the rendered
+        # values match. Enforce type parity here so it can't regress.
+        stypes = dict(sdf.dtypes)
+        typemap = {  # duckdb typename -> acceptable spark dtypes
+            "BIGINT": {"bigint"},
+            "INTEGER": {"int"},
+            "DOUBLE": {"double"},
+            "FLOAT": {"float"},
+            "VARCHAR": {"string"},
+            "BOOLEAN": {"boolean"},
+        }
+        ok_types = True
+        for cname, duckt in otypes.items():
+            if cname not in stypes:
+                continue
+            want = typemap.get(duckt)
+            if want is None:
+                if duckt in ("HUGEINT", "UHUGEINT") or duckt.startswith("DECIMAL"):
+                    print(f"    TYPE DRIFT {name}.{cname}: duckdb={duckt} spark={stypes[cname]}")
+                    ok_types = False
+                continue
+            if stypes[cname] not in want:
+                print(f"    TYPE DRIFT {name}.{cname}: duckdb={duckt} spark={stypes[cname]}")
+                ok_types = False
+        if not ok_types:
+            failures.append((name, "type drift"))
         ok_cnt = len(srows) == len(orows)
         sn = normalize([tuple(r) for r in srows], scols)
         on = normalize(orows, ocols)
