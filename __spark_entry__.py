@@ -484,14 +484,18 @@ def q27_patch_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q28_val_cells_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5/W6: greedy validation-cell selection (driver-side, reference
-    val.py:155-297). Not SQL-expressible (iterative argmin with state) ->
-    rows-only check; bit-parity covered by tests/test_stats.py."""
+    """W5/W6: greedy validation-cell selection (reference val.py:155-297),
+    run per image inside applyInPandas. ORACLE-CHECKED: the selection is
+    deterministic given the A2 aggregates, so the oracle recomputes the
+    aggregates in DuckDB and replays the same greedy (shared
+    stats.select_validation_cells) into a VALUES table. The target
+    distribution uses exact rational arithmetic (target_distribution_exact)
+    so both engines feed the greedy bit-identical doubles."""
     from geotiff_tiler_spark.operators import stats as _stats
 
     pts = tiling.doc_points(_docs(spark, sf_dir), P)
     grid_dists = _stats.grid_cell_distributions(pts, P)
-    target = _stats.target_distribution(_stats.class_distribution(pts))
+    target = _stats.target_distribution_exact_from_points(pts)
     return _stats.select_validation_cells_distributed(
         grid_dists, P, target, P.val_ratio
     )
@@ -621,8 +625,12 @@ def q35_label_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q36_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (clustering-based scale path): deterministic k-means
     centroids on a bounded sample, nprobe nearest-cluster probing, exact
-    cosine within probed lists. Not SQL-expressible (iterative k-means) ->
-    rows-only check; recall vs brute force asserted in tests/test_spatial.py."""
+    cosine within probed lists. ORACLE-CHECKED: centroids are deterministic
+    (seeded k-means on an orderBy-limit sample), so the oracle trains the
+    SAME centroids (shared similarity.kmeans_fit) from a DuckDB-fetched
+    sample, embeds them as DOUBLE[] literals, and expresses assignment +
+    nprobe + cosine top-k in pure SQL. Recall vs brute force additionally
+    asserted in tests/test_spatial.py."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return similarity.ivf_topk(emb, k=5, query_mod=25, n_clusters=8, nprobe=3)
 
@@ -803,6 +811,154 @@ JOIN sizes sb ON sb.doc_id = p.doc_b
 """
 
 
+def _oracle_sf_dir() -> str:
+    """Parquet dir the driver registers as DuckDB views (sf0.01 per the
+    contract). Overridable so tools/check_contract.py can exercise the
+    generated-literal oracles (q28/q36) at other scale factors."""
+    return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _q28_oracle() -> str:
+    """W5 greedy validation-cell oracle: DuckDB computes the A2 grid-cell
+    aggregates and the per-(image, class) integer counts; the shared
+    pure-Python greedy (stats.select_validation_cells — the same function
+    the Spark applyInPandas groups run) replays the selection; the expected
+    (image_id, cell_key) set is emitted as a VALUES table. Deterministic
+    because every float the greedy sees is either an exact-int IEEE
+    division (cnt/tot, identical in both engines) or the exact-rational
+    target mean (stats.target_distribution_exact)."""
+    import duckdb
+
+    from geotiff_tiler_spark.operators import stats as _stats
+
+    p = P
+    cw = p.width / p.grid_size
+    ch = p.height / p.grid_size
+    g1 = p.grid_size - 1
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{_oracle_sf_dir()}/documents.parquet'"
+    )
+    target_rows = con.execute(
+        f"""
+WITH {_pts_cte()},
+per AS (SELECT image_id, lang, COUNT(*) AS cnt FROM pts GROUP BY 1, 2),
+tot AS (SELECT image_id, COUNT(*) AS tot FROM pts GROUP BY 1)
+SELECT per.lang, per.cnt, tot.tot FROM per JOIN tot ON per.image_id = tot.image_id
+"""
+    ).fetchall()
+    target = _stats.target_distribution_exact(target_rows)
+    cell_rows = con.execute(
+        f"""
+WITH {_pts_cte()},
+cells AS (
+  SELECT *,
+    LEAST(CAST(floor(px / {cw}) AS BIGINT), {g1}) AS grid_x,
+    LEAST(CAST(floor(py / {ch}) AS BIGINT), {g1}) AS grid_y
+  FROM pts
+),
+per AS (SELECT image_id, grid_x, grid_y, lang, COUNT(*) AS cnt FROM cells GROUP BY 1,2,3,4),
+tot AS (SELECT image_id, grid_x, grid_y, COUNT(*) AS tot FROM cells GROUP BY 1,2,3)
+SELECT per.image_id, per.grid_x, per.grid_y, per.lang, per.cnt, tot.tot
+FROM per JOIN tot
+  ON per.image_id = tot.image_id AND per.grid_x = tot.grid_x AND per.grid_y = tot.grid_y
+"""
+    ).fetchall()
+    con.close()
+    per_img: dict[int, dict[str, dict[str, float]]] = {}
+    for img, gx, gy, cls, cnt, tot in cell_rows:
+        # cnt / tot: exact-int IEEE double division, bit-identical to the
+        # Spark side's cast("double") / tot
+        per_img.setdefault(int(img), {}).setdefault(f"{gx}_{gy}", {})[cls] = cnt / tot
+    expected: list[tuple[int, str]] = []
+    for img in sorted(per_img):
+        chosen = _stats.select_validation_cells(
+            per_img[img], p.grid_size, p.tiles_per_image, target, p.val_ratio
+        )
+        expected.extend((img, ck) for ck in sorted(chosen))
+    if not expected:
+        return "SELECT CAST(NULL AS BIGINT) AS image_id, CAST(NULL AS VARCHAR) AS cell_key WHERE FALSE"
+    values = ",\n  ".join(f"({img}, '{ck}')" for img, ck in expected)
+    return f"""
+SELECT CAST(v.img AS BIGINT) AS image_id, v.ck AS cell_key
+FROM (VALUES
+  {values}
+) AS v(img, ck)
+"""
+
+
+def _q36_oracle() -> str:
+    """IVF ANN oracle: train the SAME deterministic centroids
+    (similarity.kmeans_fit, seeded, on the orderBy-limit sample) from a
+    DuckDB-fetched sample, embed them as DOUBLE[] literals, and express
+    nearest-centroid assignment, nprobe probing, and cosine top-k in pure
+    SQL. Distances use the same sequential list_sum fold as the Spark
+    aggregate() so comparisons see bit-identical doubles."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM '{_oracle_sf_dir()}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    con.close()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    cent = similarity.kmeans_fit(X, n_clusters=8, n_iter=10, seed=42)
+    cent_values = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(ci, ", ".join(repr(float(v)) for v in c))
+        for ci, c in enumerate(cent)
+    )
+
+    def d2_sql(vec: str, cvec: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {similarity.EMB_DIM}), "
+            f"i -> (({vec}[i]::DOUBLE) - {cvec}[i]) * (({vec}[i]::DOUBLE) - {cvec}[i])))"
+        )
+
+    return f"""
+WITH cents(ci, cvec) AS (VALUES
+  {cent_values}
+),
+d AS (
+  SELECT e.vec_id, e.embedding, c.ci, {d2_sql("e.embedding", "c.cvec")} AS d2
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, embedding, ci AS ivf_cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, ci ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0),
+qd AS (
+  SELECT q.query_id, q.q_vec, c.ci, {d2_sql("q.q_vec", "c.cvec")} AS cd
+  FROM q, cents c
+),
+probes AS (
+  SELECT query_id, q_vec, ci AS ivf_cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd ASC, ci ASC) AS rn
+    FROM qd
+  ) WHERE rn <= 3
+),
+cand AS (
+  SELECT p.query_id, p.q_vec, a.vec_id AS neighbor_id, a.embedding AS c_vec
+  FROM probes p JOIN assign a USING (ivf_cluster)
+  WHERE p.query_id <> a.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         {similarity.cosine_sql("q_vec", "c_vec")} AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     p = P
     s = p.eff_stride
@@ -895,6 +1051,8 @@ FROM groups GROUP BY dup_cnt
 """,
         "q10_minhash_sig": _q10_oracle(),
         "q11_lsh_jaccard": _q11_oracle(),
+        "q28_val_cells_greedy": _q28_oracle(),
+        "q36_ivf_ann": _q36_oracle(),
         "q12_simhash": r"""
 SELECT doc_id,
        CAST(CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 64) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 64 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 128) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 128 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 256) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 256 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 512) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 512 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1024) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1024 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2048) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2048 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4096) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4096 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8192) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8192 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16384) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16384 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32768) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32768 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 65536) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 65536 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 131072) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 131072 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 262144) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 262144 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 524288) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 524288 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1048576) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1048576 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2097152) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2097152 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4194304) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4194304 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8388608) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8388608 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16777216) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16777216 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 33554432) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 33554432 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 67108864) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 67108864 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 134217728) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 134217728 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 268435456) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 268435456 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 536870912) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 536870912 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1073741824) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1073741824 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2147483648) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2147483648 ELSE 0 END AS BIGINT) AS simhash,

@@ -172,6 +172,23 @@ def sign_bucket_sql(vec: str, bits: int = SIGN_BITS) -> str:
 # ---------------------------------------------------------------------------
 
 
+def kmeans_fit(X, n_clusters: int, n_iter: int = 10, seed: int = 42):
+    """Deterministic Lloyd k-means core (pure numpy, shared with the
+    DuckDB oracle generator so both engines see bit-identical centroids)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    for _ in range(n_iter):
+        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(len(cent)):
+            members = X[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return cent
+
+
 def train_ivf_centroids(
     emb, n_clusters: int = 16, n_iter: int = 10, sample: int = 4096,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
@@ -190,16 +207,7 @@ def train_ivf_centroids(
         .collect()
     )
     X = np.array([list(r[1]) for r in rows], dtype=np.float64)
-    rng = np.random.default_rng(seed)
-    cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
-    for _ in range(n_iter):
-        d2 = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(len(cent)):
-            members = X[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
-    return cent
+    return kmeans_fit(X, n_clusters, n_iter, seed)
 
 
 def ivf_assign(emb, centroids, vec_col: str = "embedding"):

@@ -46,6 +46,40 @@ def target_distribution(dist: DataFrame) -> dict[str, float]:
     return {r["class"]: r["frac"] for r in rows}
 
 
+def target_distribution_exact(rows) -> dict[str, float]:
+    """A5 computed with exact rational arithmetic.
+
+    `rows`: iterable of (class, cnt, tot) — one entry per (image, class),
+    where cnt/tot is that image's class fraction. The mean of per-image
+    fractions is accumulated as `Fraction`s and converted to float ONCE at
+    the end, so Spark and DuckDB callers produce bit-identical doubles
+    regardless of each engine's summation order (which is what makes the
+    q28 greedy-selection oracle reproducible). Keys are sorted so the
+    downstream greedy's float accumulation visits classes in the same
+    order on both sides.
+    """
+    from fractions import Fraction
+
+    sums: dict[str, Fraction] = {}
+    counts: dict[str, int] = {}
+    for cls, cnt, tot in rows:
+        sums[cls] = sums.get(cls, Fraction(0)) + Fraction(int(cnt), int(tot))
+        counts[cls] = counts.get(cls, 0) + 1
+    return {cls: float(sums[cls] / counts[cls]) for cls in sorted(sums)}
+
+
+def target_distribution_exact_from_points(
+    points: DataFrame, class_col: str = "lang"
+) -> dict[str, float]:
+    """Collect per-(image, class) integer counts and feed the exact helper.
+
+    Driver-small: images x classes rows (same bound as target_distribution)."""
+    per = points.groupBy("image_id", class_col).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = points.groupBy("image_id").agg(F.count(F.lit(1)).alias("tot"))
+    rows = per.join(tot, "image_id").select(class_col, "cnt", "tot").collect()
+    return target_distribution_exact((r[0], r[1], r[2]) for r in rows)
+
+
 def running_band_stats(tiles: DataFrame, value_cols: list[str]) -> DataFrame:
     """A4: sum / sum-of-squares / count partial aggregation, finalized to
     mean and std (variance clamped >= 0) in float64 — reference

@@ -46,6 +46,12 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
+    import os
+
+    # generated-literal oracles (q28/q36) derive their constants from the
+    # parquet tables; point them at the same dir the views read from
+    os.environ["SPARK_GRAFT_ORACLE_SF_DIR"] = sf_dir
+
     import __spark_entry__ as entrymod
     from geotiff_tiler_spark.session import get_spark
 
