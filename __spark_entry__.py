@@ -321,9 +321,12 @@ def q16_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q17_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-bit LSH bucketed ANN top-k (similarity scale path)."""
+    """Banded sign-LSH ANN top-k (similarity scale path): candidates are
+    the union of ANN_BANDS independent sign-bit band matches with
+    data-adaptive bits per band (adaptive_sign_bits), so bucket occupancy
+    — and the candidate count per query — stays bounded as n grows."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.lsh_ann_topk(emb, k=5, query_mod=25)
+    return similarity.ann_topk_banded(emb, k=5, query_mod=25)
 
 
 def q18_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -578,21 +581,11 @@ def q32_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q33_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup: LSH sign-bucket blocking + cosine refine
-    (the embedding leg of the dedup ladder)."""
+    """Embedding-cosine near-dup: banded sign-LSH blocking + cosine refine
+    (the embedding leg of the dedup ladder). Candidate pairs grow
+    ~linearly in n at fixed bucket occupancy instead of O(n^2/16)."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    b = emb.withColumn("bucket", similarity.sign_bucket("embedding"))
-    l = b.select(
-        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"),
-        similarity._norm(F.col("embedding")).alias("na"), "bucket",
-    )
-    r = b.select(
-        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"),
-        similarity._norm(F.col("embedding")).alias("nb"), "bucket",
-    )
-    pairs = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
-    scored = similarity._with_cosine_prenormed(pairs, "va", "vb", "na", "nb")
-    return scored.filter(F.col("cosine") >= 0.5).select("id_a", "id_b", "cosine")
+    return similarity.neardup_pairs_banded(emb, threshold=0.5)
 
 
 def q34_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -887,6 +880,73 @@ FROM (VALUES
 """
 
 
+def _emb_count() -> int:
+    import duckdb
+
+    con = duckdb.connect()
+    n = con.execute(
+        f"SELECT COUNT(*) FROM '{_oracle_sf_dir()}/embeddings.parquet'"
+    ).fetchone()[0]
+    con.close()
+    return int(n)
+
+
+def _q17_oracle() -> str:
+    """Banded sign-LSH ANN twin: same bands/bits (adaptive from the table
+    count), same band-union candidate set, same cosine + top-k."""
+    bits = similarity.adaptive_sign_bits(_emb_count())
+    bands = similarity.band_buckets_union_sql("vec_id", "embedding", "embeddings", bits)
+    return f"""
+WITH b AS (
+{bands}
+),
+cand AS (
+  SELECT DISTINCT l.id AS query_id, r.id AS neighbor_id
+  FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.id % 25 = 0 AND l.id <> r.id
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {similarity.cosine_sql("q_vec", "c_vec")} AS cosine
+  FROM cand JOIN q ON cand.query_id = q.query_id
+  JOIN c ON cand.neighbor_id = c.neighbor_id
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+"""
+
+
+def _q33_oracle() -> str:
+    """Banded sign-LSH near-dup twin of similarity.neardup_pairs_banded."""
+    bits = similarity.adaptive_sign_bits(_emb_count())
+    bands = similarity.band_buckets_union_sql("vec_id", "embedding", "embeddings", bits)
+    cos = similarity.cosine_sql("va", "vb")
+    return f"""
+WITH b AS (
+{bands}
+),
+pairs AS (
+  SELECT DISTINCT l.id AS id_a, r.id AS id_b
+  FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
+  WHERE l.id < r.id
+),
+v AS (
+  SELECT p.id_a, p.id_b, ea.embedding AS va, eb.embedding AS vb
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.id_a
+  JOIN embeddings eb ON eb.vec_id = p.id_b
+)
+SELECT id_a, id_b, {cos} AS cosine
+FROM v
+WHERE {cos} >= 0.5
+"""
+
+
 def _q36_oracle() -> str:
     """IVF ANN oracle: train the SAME deterministic centroids
     (similarity.kmeans_fit, seeded, on the orderBy-limit sample) from a
@@ -1090,22 +1150,7 @@ ranked AS (
 )
 SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """,
-        "q17_ann_lsh": """
-WITH b AS (
-  SELECT vec_id, embedding, CAST(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END AS BIGINT) AS bucket FROM embeddings
-),
-q AS (SELECT vec_id AS query_id, embedding AS q_vec, bucket FROM b WHERE vec_id % 25 = 0),
-c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec, bucket FROM b),
-scored AS (
-  SELECT query_id, neighbor_id, ROUND(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64), i -> (q_vec[i]::DOUBLE) * (q_vec[i]::DOUBLE)))) > 0 AND sqrt(list_sum(list_transform(generate_series(1, 64), i -> (c_vec[i]::DOUBLE) * (c_vec[i]::DOUBLE)))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> (q_vec[i]::DOUBLE) * (c_vec[i]::DOUBLE)))) / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> (q_vec[i]::DOUBLE) * (q_vec[i]::DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1, 64), i -> (c_vec[i]::DOUBLE) * (c_vec[i]::DOUBLE))))) ELSE 0.0 END, 6) AS cosine
-  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
-),
-ranked AS (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
-""",
+        "q17_ann_lsh": _q17_oracle(),
         "q18_pricing_summary": """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2) AS sum_qty,
@@ -1301,18 +1346,7 @@ SELECT lang, CAST(SUM(n_bpe_tokens) AS BIGINT) AS total_tokens,
        COUNT(*) AS n_docs
 FROM per GROUP BY lang
 """,
-        "q33_embedding_neardup": f"""
-WITH b AS (
-  SELECT vec_id, embedding, CAST(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END AS BIGINT) AS bucket FROM embeddings
-),
-pairs AS (
-  SELECT l.vec_id AS id_a, r.vec_id AS id_b, l.embedding AS va, r.embedding AS vb
-  FROM b l JOIN b r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
-)
-SELECT id_a, id_b, ROUND(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (va[i]::DOUBLE)))) > 0 AND sqrt(list_sum(list_transform(generate_series(1, 64), i -> (vb[i]::DOUBLE) * (vb[i]::DOUBLE)))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (vb[i]::DOUBLE)))) / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (va[i]::DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1, 64), i -> (vb[i]::DOUBLE) * (vb[i]::DOUBLE))))) ELSE 0.0 END, 6) AS cosine
-FROM pairs
-WHERE ROUND(CASE WHEN sqrt(list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (va[i]::DOUBLE)))) > 0 AND sqrt(list_sum(list_transform(generate_series(1, 64), i -> (vb[i]::DOUBLE) * (vb[i]::DOUBLE)))) > 0 THEN (list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (vb[i]::DOUBLE)))) / (sqrt(list_sum(list_transform(generate_series(1, 64), i -> (va[i]::DOUBLE) * (va[i]::DOUBLE)))) * sqrt(list_sum(list_transform(generate_series(1, 64), i -> (vb[i]::DOUBLE) * (vb[i]::DOUBLE))))) ELSE 0.0 END, 6) >= 0.5
-""",
+        "q33_embedding_neardup": _q33_oracle(),
         "q34_quality_filter": r"""
 WITH q AS (
   SELECT doc_id, lang,

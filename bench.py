@@ -87,6 +87,44 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
         timings[name] = round((time.time() - t0) / runs, 3)
         rows[name] = n
     total = round(time.time() - total_t0, 3)
+    # VERDICT r1 item 10: measure (don't assert) the banded-LSH blocking —
+    # candidate-pair counts at n and 10n so the ~linear-growth claim for
+    # q17/q33 is recorded in the bench JSON each round.
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from geotiff_tiler_spark.operators import similarity  # noqa: PLC0415
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_emb = emb.count()
+    big = None
+    for c in range(10):
+        part = emb.select(
+            (F.col("vec_id") + F.lit(c * n_emb)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                # F.transform evaluates the lambda eagerly, so capturing the
+                # loop variable directly is safe (no late binding)
+                lambda x, i: x
+                * F.when(
+                    F.crc32(F.concat(F.lit(f"{c}:"), i.cast("string"))) % 2 == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ).alias("embedding"),
+        )
+        big = part if big is None else big.unionByName(part)
+    bits1 = similarity.adaptive_sign_bits(n_emb, rows_per_bucket=32)
+    bits10 = similarity.adaptive_sign_bits(10 * n_emb, rows_per_bucket=32)
+    cand1 = similarity.neardup_candidate_count(emb, bits=bits1)
+    cand10 = similarity.neardup_candidate_count(big, bits=bits10)
+    lsh_blocking = {
+        "n": n_emb,
+        "bits": bits1,
+        "candidate_pairs": cand1,
+        "n_10x": 10 * n_emb,
+        "bits_10x": bits10,
+        "candidate_pairs_10x": cand10,
+        "growth_factor": round(cand10 / max(cand1, 1), 2),
+    }
     spark.stop()
     # the data-bound scale workload (synthesized pages table, BASELINE.json
     # metric shape: tiles+join-rows/sec) — fresh session: ~80 prior jobs
@@ -112,6 +150,7 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
         "throughput_rows_per_sec": round(out_rows / total, 1) if total > 0 else None,
         "scale_workload": scale,
         "tiles_join_rows_per_sec": scale["tiles_join_rows_per_sec"],
+        "lsh_blocking": lsh_blocking,
         "scaling": _last_scaling(),
     }
 

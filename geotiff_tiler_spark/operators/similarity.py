@@ -22,7 +22,28 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 EMB_DIM = 64
-SIGN_BITS = 4  # 2^4 = 16 LSH buckets
+SIGN_BITS = 4  # legacy single-bucket scheme: 2^4 = 16 LSH buckets
+ANN_BANDS = 4  # banded scheme: independent sign-bit bands (union of matches)
+ANN_ROWS_PER_BUCKET = 256  # target bucket occupancy the adaptive bits aim for
+
+
+def adaptive_sign_bits(
+    n: int, rows_per_bucket: int = ANN_ROWS_PER_BUCKET, lo: int = 4, hi: int = 16
+) -> int:
+    """Bits per sign-LSH band chosen from the table size.
+
+    2^bits buckets per band should hold ~rows_per_bucket rows each, so the
+    per-band self-join stays O(n * rows_per_bucket) instead of O(n^2 / 16)
+    — the fix for the fixed-16-bucket scheme that collapses at 100x scale.
+    Capped at hi=16 so ANN_BANDS * bits <= EMB_DIM (each band reads a
+    disjoint coordinate range); beyond that you'd switch the band inputs
+    to seeded random hyperplanes rather than raw coordinates.
+    """
+    import math
+
+    if n <= rows_per_bucket:
+        return lo
+    return min(hi, max(lo, math.ceil(math.log2(n / rows_per_bucket))))
 
 
 def _dot(a, b):
@@ -140,6 +161,151 @@ def lsh_ann_topk(
     )
 
 
+def sign_band_bucket(vec_col, band: int, bits: int):
+    """Bucket id for one band: sign bits of coordinates
+    [band*bits, band*bits + bits) — disjoint ranges per band, so the bands
+    are independent hashes (same shape as MinHash banding)."""
+    col = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    off = band * bits
+    acc = F.lit(0)
+    for j in range(bits):
+        acc = acc + F.when(F.element_at(col, off + j + 1) > 0, F.lit(1 << j)).otherwise(
+            F.lit(0)
+        )
+    return acc.cast("bigint")
+
+
+def _band_explode(df: DataFrame, vec_col: str, bits: int, bands: int) -> DataFrame:
+    """(row, band, bucket) — one output row per band via posexplode."""
+    arr = F.array(*[sign_band_bucket(vec_col, b, bits) for b in range(bands)])
+    return df.select("*", F.posexplode(arr).alias("band", "bucket"))
+
+
+def ann_topk_banded(
+    emb: DataFrame,
+    k: int = 5,
+    query_mod: int = 25,
+    bits: int | None = None,
+    bands: int = ANN_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k with banded sign-LSH blocking (the scale path).
+
+    Candidates = union over `bands` independent sign-bit bands of the
+    (band, bucket) equi-join, deduped, then exact cosine + per-query top-k.
+    `bits` defaults to adaptive_sign_bits(count) so bucket occupancy stays
+    ~ANN_ROWS_PER_BUCKET regardless of table size: the join is
+    O(n * bands * rows_per_bucket), never O(n^2 / const). Recall improves
+    over the single-bucket scheme because a pair only needs to agree on
+    ONE band's bits, not all of them.
+    """
+    from pyspark.sql.window import Window
+
+    if bits is None:
+        bits = adaptive_sign_bits(emb.count())
+    bq = _band_explode(
+        emb.filter(F.col(id_col) % query_mod == 0), vec_col, bits, bands
+    ).select(F.col(id_col).alias("query_id"), "band", "bucket")
+    bc = _band_explode(emb, vec_col, bits, bands).select(
+        F.col(id_col).alias("neighbor_id"), "band", "bucket"
+    )
+    cand = (
+        bq.join(bc, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = emb.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    cv = emb.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    scored = _with_cosine_prenormed(
+        cand.join(F.broadcast(qv), "query_id").join(cv, "neighbor_id"),
+        "q_vec", "c_vec", "q_norm", "c_norm",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def neardup_pairs_banded(
+    emb: DataFrame,
+    threshold: float = 0.5,
+    bits: int | None = None,
+    bands: int = ANN_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs with banded sign-LSH blocking.
+
+    Replaces the 16-bucket self-join (O(n^2/16) candidate pairs) with a
+    banded scheme whose candidate count grows ~linearly in n at fixed
+    bucket occupancy. Output: (id_a, id_b, cosine) with id_a < id_b and
+    cosine >= threshold.
+    """
+    if bits is None:
+        bits = adaptive_sign_bits(emb.count())
+    b = _band_explode(emb, vec_col, bits, bands)
+    l = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    r = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    pairs = (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = emb.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("va"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vb"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    scored = _with_cosine_prenormed(
+        pairs.join(va, "id_a").join(vb, "id_b"), "va", "vb", "na", "nb"
+    )
+    return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
+
+
+def neardup_candidate_count(
+    emb: DataFrame,
+    bits: int | None = None,
+    bands: int = ANN_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Number of DISTINCT candidate pairs the banded blocking produces —
+    the quantity that must grow ~linearly in n (at adaptive bits) for the
+    scheme to survive 100x scale. Used by tests and bench reporting."""
+    if bits is None:
+        bits = adaptive_sign_bits(emb.count())
+    b = _band_explode(emb, vec_col, bits, bands)
+    l = b.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    r = b.select(F.col(id_col).alias("id_b"), "band", "bucket")
+    return (
+        l.join(r, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL twins
 # ---------------------------------------------------------------------------
@@ -165,6 +331,27 @@ def cosine_sql(a: str, b: str, dim: int = EMB_DIM) -> str:
 def sign_bucket_sql(vec: str, bits: int = SIGN_BITS) -> str:
     terms = [f"CASE WHEN {vec}[{j + 1}] > 0 THEN {1 << j} ELSE 0 END" for j in range(bits)]
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def sign_band_bucket_sql(vec: str, band: int, bits: int) -> str:
+    """DuckDB twin of sign_band_bucket: same coordinate range, same bits."""
+    off = band * bits
+    terms = [
+        f"CASE WHEN {vec}[{off + j + 1}] > 0 THEN {1 << j} ELSE 0 END"
+        for j in range(bits)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def band_buckets_union_sql(
+    id_expr: str, vec: str, table: str, bits: int, bands: int = ANN_BANDS
+) -> str:
+    """UNION ALL over bands: (id, band, bucket) — twin of _band_explode."""
+    return "\n  UNION ALL\n".join(
+        f"  SELECT {id_expr} AS id, {b} AS band, "
+        f"{sign_band_bucket_sql(vec, b, bits)} AS bucket FROM {table}"
+        for b in range(bands)
+    )
 
 
 # ---------------------------------------------------------------------------

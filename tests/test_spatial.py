@@ -149,3 +149,69 @@ def test_ivf_ann_recall_vs_bruteforce(spark):
     got2 = {(r.query_id, r.neighbor_id) for r in similarity.ivf_topk(
         emb, k=5, query_mod=25, n_clusters=8, nprobe=3).collect()}
     assert got == got2
+
+
+def _decorrelated_copies(emb, copies):
+    """Deterministically synthesize `copies` sign-independent variants of
+    each vector (per-copy pseudorandom sign flips via crc32), ids offset
+    by copy * n. Used to measure candidate-pair growth of the banded
+    LSH blocking without introducing planted near-dups."""
+    from pyspark.sql import functions as F
+
+    n = emb.count()
+    parts = []
+    for c in range(copies):
+        flipped = emb.select(
+            (F.col("vec_id") + F.lit(c * n)).alias("vec_id"),
+            F.transform(
+                "embedding",
+                lambda x, i: x
+                * F.when(
+                    F.crc32(F.concat(F.lit(f"{c}:"), i.cast("string"))) % 2 == 0,
+                    F.lit(1.0),
+                ).otherwise(F.lit(-1.0)),
+            ).alias("embedding"),
+        )
+        parts.append(flipped)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def test_banded_lsh_candidates_grow_linearly(spark):
+    """VERDICT item 4 'done' criterion: candidate pairs must grow
+    ~linearly (not quadratically) when the table is scaled 10x, because
+    adaptive_sign_bits keeps bucket occupancy bounded."""
+    from geotiff_tiler_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = _decorrelated_copies(emb, 1)
+    big = _decorrelated_copies(emb, 10)
+    n1, n10 = base.count(), big.count()
+    assert n10 == 10 * n1
+    # use a small rows_per_bucket so BOTH sizes sit in the adaptive regime
+    # at test scale (the production default 256 only sets where the linear
+    # regime starts; below it bits floor at lo=4 and growth is still
+    # converging toward the occupancy cap)
+    bits1 = similarity.adaptive_sign_bits(n1, rows_per_bucket=32)
+    bits10 = similarity.adaptive_sign_bits(n10, rows_per_bucket=32)
+    assert bits10 > bits1  # the bits actually adapt upward with n
+    c1 = similarity.neardup_candidate_count(base, bits=bits1)
+    c10 = similarity.neardup_candidate_count(big, bits=bits10)
+    growth = c10 / max(c1, 1)
+    # quadratic (fixed-bucket) growth would be ~100x; adaptive banding
+    # must stay within ~2x of linear
+    assert growth <= 20.0, (c1, c10, growth)
+
+
+def test_banded_ann_recall_vs_bruteforce(spark):
+    from geotiff_tiler_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = similarity.cosine_topk(emb, k=5, query_mod=25)
+    ann = similarity.ann_topk_banded(emb, k=5, query_mod=25)
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in ann.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.3, recall  # union-of-bands candidates, bounded work
