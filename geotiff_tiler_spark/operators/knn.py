@@ -68,8 +68,9 @@ def knn_cell_ring(
     queries: DataFrame,
     points: DataFrame,
     k: int,
-    res: int = 4,
+    res: int | None = None,
     max_ring: int = 4,
+    target_rows_per_cell: int = 100_000,
 ) -> DataFrame:
     """Exact kNN: iterative ring expansion, brute-force fallback for the rest.
 
@@ -77,7 +78,19 @@ def knn_cell_ring(
     Chebyshev ring exactly r, accumulate, keep per-query top-k, resolve
     queries whose kth distance is within the ring-r guarantee. Queries
     still unresolved after max_ring go through `knn_bruteforce`.
+
+    `res=None` derives the resolution from the point density
+    (spatial_join.choose_res): the coarsest level whose hottest cell stays
+    under `target_rows_per_cell`, so ring joins stay task-sized at any
+    data scale instead of relying on a fixed res=4 (256 world cells).
+    The result is EXACT for every res — only the join granularity moves.
     """
+    if res is None:
+        from geotiff_tiler_spark.operators.spatial_join import choose_res
+
+        res = choose_res(
+            points, "n_lon", "n_lat", target_rows_per_cell=target_rows_per_cell
+        )
     n = 1 << res
     cell_w = 360.0 / n
     cell_h = 180.0 / n

@@ -109,8 +109,51 @@ def point_in_box_join(points: DataFrame, labels: DataFrame, res: int) -> DataFra
     return cand.filter(hit).select("doc_id", "feature_id", "class").distinct()
 
 
+def choose_res(
+    points: DataFrame,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    target_rows_per_cell: int = 100_000,
+    lo: int = 2,
+    hi: int = 8,
+) -> int:
+    """Pick the coarsest cell resolution whose hottest cell holds at most
+    `target_rows_per_cell` points — derived from ONE distributed
+    rows-per-cell aggregate at `hi`, rolled up to coarser levels on the
+    driver (4^hi rows collected; hi=8 -> <=65k, driver-small even at
+    10^12 points because the aggregate, not the data, is collected).
+
+    Replaces the fixed res=4 default that made a hot cell one
+    unsplittable cogroup at 100x density.
+    """
+    counts = (
+        points.groupBy(
+            geo.cell_ix(F.col(lon_col), hi).alias("ix"),
+            geo.cell_iy(F.col(lat_col), hi).alias("iy"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    per_res: dict[int, dict[tuple[int, int], int]] = {hi: {}}
+    for r in counts:
+        per_res[hi][(r["ix"], r["iy"])] = r["n"]
+    for r in range(hi - 1, lo - 1, -1):
+        agg: dict[tuple[int, int], int] = {}
+        for (ix, iy), n in per_res[r + 1].items():
+            key = (ix // 2, iy // 2)
+            agg[key] = agg.get(key, 0) + n
+        per_res[r] = agg
+    for r in range(lo, hi + 1):
+        if per_res[r] and max(per_res[r].values()) <= target_rows_per_cell:
+            return r
+    return hi
+
+
 def point_in_polygon_join(
-    points: DataFrame, polygons: DataFrame, res: int
+    points: DataFrame,
+    polygons: DataFrame,
+    res: int | None = None,
+    max_points_per_task: int = 200_000,
 ) -> DataFrame:
     """J6/J7 general case: point-in-(Multi)Polygon via per-cell STRtree.
 
@@ -122,21 +165,61 @@ def point_in_polygon_join(
     (vector.py:36-62: sindex.query then intersects). Arrow-batched; no
     per-row Python outside the vectorized numpy kernels.
 
-    Skew: a hot cell (urban polygons) becomes one big group; AQE cannot
-    split a cogroup, so res should be chosen so cells stay task-sized —
-    the same partition-granularity tradeoff the reference solves with its
-    pixel windows. Output: (doc_id, feature_id, class) distinct.
+    Skew: AQE cannot split a cogroup, so hot cells are handled explicitly:
+    (1) `res` defaults to `choose_res` (coarsest level whose hottest cell
+    is under target occupancy), and (2) any cell whose POINT count still
+    exceeds `max_points_per_task` is salted — its points are hash-split
+    into ceil(n / max_points_per_task) shards and the cell's polygons are
+    replicated to every shard, so each cogroup task sees a bounded point
+    batch and the full polygon set (output unchanged; verified by
+    test_spatial's hot-cell test). The salt map is a per-cell aggregate,
+    broadcast — never a data-sized structure.
+    Output: (doc_id, feature_id, class) distinct.
     """
     import pandas as pd
 
     from geotiff_tiler_spark.functions import geo as _geo
     from geotiff_tiler_spark.operators import strtree as _st
 
+    if res is None:
+        res = choose_res(points, target_rows_per_cell=max_points_per_task)
+
     pc = points.withColumn("cell", _geo.cell_id("lon", "lat", res)).select(
         "cell", "doc_id", "lon", "lat"
     )
     lc = boxes_to_cells(polygons, res).select(
         "cell", "feature_id", "class", "wkb", "xmin", "ymin", "xmax", "ymax"
+    )
+
+    # hot-cell salt map: cells whose point count exceeds the task bound
+    salt_map = (
+        pc.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > max_points_per_task)
+        .select(
+            "cell",
+            F.ceil(F.col("_n") / F.lit(max_points_per_task)).cast("int").alias("_nsalt"),
+        )
+    )
+    pc = (
+        pc.join(F.broadcast(salt_map), "cell", "left")
+        .withColumn(
+            "salt",
+            F.when(
+                F.col("_nsalt").isNotNull(),
+                F.pmod(F.xxhash64("doc_id"), F.col("_nsalt")).cast("int"),
+            ).otherwise(F.lit(0)),
+        )
+        .drop("_nsalt")
+    )
+    lc = (
+        lc.join(F.broadcast(salt_map), "cell", "left")
+        .withColumn(
+            "salt",
+            F.explode(F.sequence(F.lit(0), F.coalesce(F.col("_nsalt"), F.lit(1)) - 1)),
+        )
+        .withColumn("salt", F.col("salt").cast("int"))
+        .drop("_nsalt")
     )
 
     def _probe(pts_pdf: pd.DataFrame, polys_pdf: pd.DataFrame) -> pd.DataFrame:
@@ -177,8 +260,8 @@ def point_in_polygon_join(
         )
 
     out = (
-        pc.groupBy("cell")
-        .cogroup(lc.groupBy("cell"))
+        pc.groupBy("cell", "salt")
+        .cogroup(lc.groupBy("cell", "salt"))
         .applyInPandas(_probe, "doc_id long, feature_id long, class string")
     )
     return out.distinct()
