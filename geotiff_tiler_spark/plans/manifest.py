@@ -68,33 +68,50 @@ _SCHEMAS = {"patches": PATCH_SCHEMA, "images": IMAGE_SCHEMA, "shards": SHARD_SCH
 
 
 class Manifest:
-    """Commit-marker manifest over a local/posix or HDFS-style path."""
+    """Commit-marker manifest over any Hadoop filesystem (local, HDFS,
+    object stores) — all path operations go through the Hadoop FS API."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
         for t in _SCHEMAS:
-            os.makedirs(os.path.join(root, t), exist_ok=True)
+            fs, jpath, _ = self._fs(os.path.join(root, t))
+            fs.mkdirs(jpath)  # no-op if it exists (Hadoop-FS mkdir -p)
 
     # --- commit protocol ---------------------------------------------------
 
+    def _fs(self, path: str):
+        """Hadoop FileSystem for `path` — the same abstraction Spark writes
+        through, so the marker protocol works on local disk, HDFS, and
+        object stores alike (no os.listdir / open() on the output root)."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(self.spark._jsc.hadoopConfiguration()), jpath, jvm
+
     def _commit_dirs(self, table: str) -> list[str]:
-        base = os.path.join(self.root, table)
+        fs, base, jvm = self._fs(os.path.join(self.root, table))
+        if not fs.exists(base):
+            return []
         out = []
-        for d in sorted(os.listdir(base)):
-            full = os.path.join(base, d)
-            if os.path.isdir(full) and os.path.exists(os.path.join(full, "_COMMITTED")):
-                out.append(full)
-        return out
+        for st in fs.listStatus(base):
+            if st.isDirectory():
+                marker = jvm.org.apache.hadoop.fs.Path(st.getPath(), "_COMMITTED")
+                if fs.exists(marker):
+                    out.append(st.getPath().toString())
+        return sorted(out)
 
     def append(self, table: str, df: DataFrame) -> str:
         """Write one commit: parquet dir + marker (atomic visibility, R3)."""
         commit_id = f"{int(time.time() * 1000):013d}-{uuid.uuid4().hex[:8]}"
         path = os.path.join(self.root, table, commit_id)
         df.withColumn("commit_id", F.lit(commit_id)).write.mode("error").parquet(path)
-        # marker write is the commit point (readers ignore unmarked dirs)
-        with open(os.path.join(path, "_COMMITTED"), "w") as fh:
-            fh.write(commit_id)
+        # marker write is the commit point (readers ignore unmarked dirs);
+        # created through the Hadoop FS so the protocol is storage-agnostic
+        fs, _, jvm = self._fs(path)
+        marker = jvm.org.apache.hadoop.fs.Path(path, "_COMMITTED")
+        out = fs.create(marker, True)
+        out.write(bytearray(commit_id.encode("utf-8")))
+        out.close()
         return commit_id
 
     def read(self, table: str) -> DataFrame:

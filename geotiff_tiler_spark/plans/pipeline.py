@@ -129,30 +129,28 @@ def create_tiles(
     )
     manifest.append("images", status)
 
-    # shard registry from committed files' metrics (reference K2 maps the
-    # live tell() probing to write metadata)
-    shards = []
-    tiles_root = os.path.join(out_dir, "tiles")
-    for split_dir in sorted(os.listdir(tiles_root)):
-        full = os.path.join(tiles_root, split_dir)
-        if not split_dir.startswith("split=") or not os.path.isdir(full):
-            continue
-        for f in sorted(os.listdir(full)):
-            if f.endswith(".parquet"):
-                shards.append(
-                    (
-                        f,
-                        split_dir.split("=", 1)[1],
-                        None,
-                        os.path.getsize(os.path.join(full, f)),
-                        "CLOSED",
-                    )
-                )
-    if shards:
-        shard_df = spark.createDataFrame(
-            shards, "shard_id string, split string, n_records long, size_bytes long, status string"
+    # shard registry from Spark's own committed-file metadata: the hidden
+    # `_metadata` column of the parquet scan exposes file name/size, and a
+    # per-file count gives real n_records — no filesystem walk, so this
+    # works identically on local disk, HDFS, and object stores. Only files
+    # not yet registered are appended (append-mode writes add new files;
+    # prior commits' shards are already in the manifest).
+    read_back = spark.read.parquet(os.path.join(out_dir, "tiles"))
+    registry = (
+        read_back.groupBy(
+            F.col("_metadata.file_name").alias("shard_id"), F.col("split")
         )
-        manifest.append("shards", shard_df)
+        .agg(
+            F.count(F.lit(1)).alias("n_records"),
+            F.max(F.col("_metadata.file_size")).alias("size_bytes"),
+        )
+        .withColumn("status", F.lit("CLOSED"))
+        .select("shard_id", "split", "n_records", "size_bytes", "status")
+    )
+    existing = manifest.read("shards").select("shard_id").distinct()
+    new_shards = registry.join(existing, "shard_id", "left_anti")
+    if not new_shards.isEmpty():
+        manifest.append("shards", new_shards)
 
     n_imgs = per_img.count()
     return TilingRun(kept=n_pending, skipped_resume=skipped, images=n_imgs, commit_id=commit_id)
