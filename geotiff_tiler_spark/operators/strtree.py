@@ -273,10 +273,11 @@ def snap_coords(ring: np.ndarray, grid: float = 0.01) -> np.ndarray:
 
 
 def repair_polygons(polys: list[list[np.ndarray]], min_area: float = 0.0) -> list[list[np.ndarray]]:
-    """F2 validity cleanup analog (reference io.py:89-104): drop degenerate
-    rings (< 3 distinct points or zero area) and polygons whose outer ring
-    vanished; full self-intersection repair (make_valid) is out of scope —
-    the synthetic layers never produce bowties."""
+    """Degenerate-ring cleanup: drop rings with < 3 distinct points or zero
+    area, and polygons whose outer ring vanished. Self-intersection repair
+    is the separate `make_valid_polygons` (applied at vector-layer load,
+    like the reference's make_valid(); the clip paths produce convex
+    intersections and only need this cheap pass)."""
     out = []
     for rings in polys:
         kept = [
@@ -288,6 +289,141 @@ def repair_polygons(polys: list[list[np.ndarray]], min_area: float = 0.0) -> lis
         if kept:
             out.append(kept)
     return out
+
+
+# ---------------------------------------------------------------------------
+# make_valid: self-intersection repair (reference io.py:89-104)
+# ---------------------------------------------------------------------------
+
+
+def _proper_intersections(ring: np.ndarray) -> dict[int, list[tuple[float, np.ndarray]]]:
+    """Pairwise proper crossings between non-adjacent edges of one ring.
+
+    Returns {edge_index: [(t_along_edge, point), ...]}. O(E^2) — rings are
+    label-feature sized and this runs inside an Arrow-batched UDF."""
+    pts = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    n = len(pts)
+    hits: dict[int, list[tuple[float, np.ndarray]]] = {}
+    for i in range(n):
+        a1, a2 = pts[i], pts[(i + 1) % n]
+        d1 = a2 - a1
+        for j in range(i + 1, n):
+            # skip adjacent edges (they share an endpoint by construction)
+            if j == i + 1 or (i == 0 and j == n - 1):
+                continue
+            b1, b2 = pts[j], pts[(j + 1) % n]
+            d2 = b2 - b1
+            denom = d1[0] * d2[1] - d1[1] * d2[0]
+            if denom == 0.0:
+                continue  # parallel/collinear: no single crossing point
+            w = b1 - a1
+            t = (w[0] * d2[1] - w[1] * d2[0]) / denom
+            u = (w[0] * d1[1] - w[1] * d1[0]) / denom
+            if 1e-12 < t < 1 - 1e-12 and 1e-12 < u < 1 - 1e-12:
+                p = a1 + t * d1
+                hits.setdefault(i, []).append((t, p.copy()))
+                hits.setdefault(j, []).append((u, p.copy()))
+    return hits
+
+
+def ring_is_simple(ring: np.ndarray) -> bool:
+    """True when the ring has no proper self-crossings and no repeated
+    (pinch) vertices."""
+    pts = ring[:-1] if len(ring) > 1 and np.array_equal(ring[0], ring[-1]) else ring
+    if len(np.unique(np.round(pts, 12), axis=0)) != len(pts):
+        return False
+    return not _proper_intersections(ring)
+
+
+def _split_at_pinches(pts: np.ndarray, tol: float = 1e-9) -> list[np.ndarray]:
+    """Walk a vertex sequence (crossing points already inserted) and pop a
+    sub-ring every time a coordinate repeats — the classic dissolve-pinch
+    decomposition that turns a bowtie into its two lobes."""
+    stack: list[np.ndarray] = []
+    out: list[np.ndarray] = []
+    for p in pts:
+        match = None
+        for idx in range(len(stack)):
+            if abs(stack[idx][0] - p[0]) <= tol and abs(stack[idx][1] - p[1]) <= tol:
+                match = idx
+                break
+        if match is None:
+            stack.append(p)
+            continue
+        sub = np.array(stack[match:] + [stack[match]])
+        if len(sub) >= 4 and ring_area(sub) > 0.0:
+            out.append(sub)
+        stack = stack[: match + 1]
+    if len(stack) >= 3:
+        closed = np.array(stack + [stack[0]])
+        if ring_area(closed) > 0.0:
+            out.append(closed)
+    return out
+
+
+def _simple_subrings(ring: np.ndarray, max_passes: int = 4) -> list[np.ndarray]:
+    """Decompose one (possibly self-intersecting) ring into simple rings:
+    insert proper crossing points, split at pinch vertices, recurse while
+    progress is made; still-non-simple leftovers are DROPPED (the
+    reference filters geometries that remain invalid after make_valid)."""
+    work = [ring]
+    for _ in range(max_passes):
+        nxt: list[np.ndarray] = []
+        progressed = False
+        for r in work:
+            if ring_is_simple(r):
+                nxt.append(r)
+                continue
+            pts = r[:-1] if np.array_equal(r[0], r[-1]) else r
+            hits = _proper_intersections(r)
+            seq: list[np.ndarray] = []
+            for i in range(len(pts)):
+                seq.append(pts[i])
+                for _, p in sorted(hits.get(i, []), key=lambda tp: tp[0]):
+                    seq.append(p)
+            pieces = _split_at_pinches(seq)
+            progressed = progressed or len(pieces) > 1 or (
+                len(pieces) == 1 and len(pieces[0]) != len(r)
+            )
+            nxt.extend(pieces)
+        work = nxt
+        if not progressed:
+            break
+    return [r for r in work if ring_is_simple(r)]
+
+
+def make_valid_polygons(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
+    """make_valid analog (reference io.py:89-104): each polygon's rings are
+    decomposed into simple sub-rings; every simple outer sub-ring becomes
+    its own polygon, holes are re-attached to the sub-ring that contains
+    them; rings that cannot be made simple are dropped. A bowtie outer
+    ring therefore yields the MultiPolygon of its lobes — shapely
+    make_valid's 'structure' result."""
+    out: list[list[np.ndarray]] = []
+    for rings in polys:
+        if not rings:
+            continue
+        outers = _simple_subrings(rings[0])
+        holes = [h2 for h in rings[1:] for h2 in _simple_subrings(h)]
+        for o in outers:
+            mine = [
+                h
+                for h in holes
+                if points_in_rings(np.array([h[0, 0]]), np.array([h[0, 1]]), [o])[0]
+            ]
+            out.append([o, *mine])
+    return repair_polygons(out)
+
+
+def make_valid_wkb(wkb: bytes) -> bytes | None:
+    """WKB-level make_valid + drop-if-unrepairable; None when nothing
+    valid remains (caller filters, mirroring the reference's row drop)."""
+    repaired = make_valid_polygons(parse_wkb(wkb))
+    if not repaired:
+        return None
+    if len(repaired) == 1:
+        return wkb_polygon(repaired[0])
+    return wkb_multipolygon(repaired)
 
 
 def clip_wkb_to_box(

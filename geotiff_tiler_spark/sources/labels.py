@@ -91,6 +91,48 @@ FROM {table}
 """
 
 
+def repair_vector_layer(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:
+    """F2 full repair at vector-layer load (reference io.py:89-104):
+    make_valid() every geometry (self-intersecting rings decomposed into
+    their simple lobes, holes re-attached), then DROP rows that remain
+    invalid or come out empty — the reference's repair-then-filter
+    semantics as a mapInPandas stage (Arrow-batched; the per-geometry
+    numpy kernel is strtree.make_valid_polygons). Bounding-box columns,
+    when present, are recomputed from the repaired geometry."""
+    import pandas as pd
+
+    from geotiff_tiler_spark.operators import strtree as st
+
+    schema = df.schema
+    has_bbox = all(c in df.columns for c in ("xmin", "ymin", "xmax", "ymax"))
+
+    def _repair(batches):
+        for pdf in batches:
+            keep_rows = []
+            for _, row in pdf.iterrows():
+                raw = row[wkb_col]
+                if raw is None:
+                    continue
+                fixed = st.make_valid_wkb(bytes(raw))
+                if fixed is None:
+                    continue  # unrepairable/empty -> filtered, like the reference
+                row = row.copy()
+                row[wkb_col] = bytearray(fixed)
+                if has_bbox:
+                    bx = st.polygon_bbox(st.parse_wkb(fixed))
+                    row["xmin"], row["ymin"], row["xmax"], row["ymax"] = (
+                        float(bx[0]), float(bx[1]), float(bx[2]), float(bx[3]),
+                    )
+                keep_rows.append(row)
+            yield (
+                pd.DataFrame(keep_rows, columns=pdf.columns)
+                if keep_rows
+                else pdf.iloc[0:0]
+            )
+
+    return df.mapInPandas(_repair, schema)
+
+
 def label_polygons(spark, n: int = 60, seed: int = 42):
     """Deterministic non-rectangular polygons for the general PIP path.
 
