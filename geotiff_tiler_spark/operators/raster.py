@@ -153,6 +153,165 @@ def apply_nodata_mask(label: np.ndarray, image_nodata: np.ndarray) -> np.ndarray
 
 
 # ---------------------------------------------------------------------------
+# J5 vector-domain nodata overlay: polygonize mask -> intersect with labels
+# (reference io.py:491-544: rasterio.features.shapes -> dissolve ->
+# gpd.overlay(..., "intersection"))
+# ---------------------------------------------------------------------------
+
+
+def polygonize_mask(mask: np.ndarray) -> list[list[np.ndarray]]:
+    """Exact polygonization of a binary mask (rasterio.features.shapes
+    analog, 4-connectivity): boundary edges of filled pixels are traced
+    into closed rings on the pixel lattice with a rightmost-turn walk
+    (separating diagonally-touching components), outer rings carry
+    positive shoelace orientation, holes negative and are re-attached to
+    their containing outer. Coordinates are (x=col, y=row) lattice
+    corners; apply an affine afterwards for world coords.
+    """
+    from geotiff_tiler_spark.operators.strtree import points_in_rings, ring_area
+
+    m = np.asarray(mask, dtype=bool)
+    h, w = m.shape
+    pad = np.zeros((h + 2, w + 2), dtype=bool)
+    pad[1:-1, 1:-1] = m
+    # exposed sides (vectorized); directed so the filled interior stays on
+    # the walker's right in screen coords (y down)
+    rr, cc = np.nonzero(m & ~pad[:-2, 1:-1])  # top exposed: (c,r)->(c+1,r)
+    edges = [((c, r), (c + 1, r)) for r, c in zip(rr.tolist(), cc.tolist())]
+    rr, cc = np.nonzero(m & ~pad[1:-1, 2:])  # right: (c+1,r)->(c+1,r+1)
+    edges += [((c + 1, r), (c + 1, r + 1)) for r, c in zip(rr.tolist(), cc.tolist())]
+    rr, cc = np.nonzero(m & ~pad[2:, 1:-1])  # bottom: (c+1,r+1)->(c,r+1)
+    edges += [((c + 1, r + 1), (c, r + 1)) for r, c in zip(rr.tolist(), cc.tolist())]
+    rr, cc = np.nonzero(m & ~pad[1:-1, :-2])  # left: (c,r+1)->(c,r)
+    edges += [((c, r + 1), (c, r)) for r, c in zip(rr.tolist(), cc.tolist())]
+    if not edges:
+        return []
+    out_edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+    for a, b in edges:
+        out_edges.setdefault(a, []).append(b)
+
+    def _take(v: tuple[int, int], d: tuple[int, int]) -> tuple[int, int]:
+        """Next vertex from v, preferring the rightmost turn relative to
+        incoming direction d (keeps 4-connectivity at checkerboard
+        corners). Right turn in screen coords: (x, y) -> (-y, x)."""
+        cands = out_edges[v]
+        if len(cands) == 1:
+            nxt = cands[0]
+        else:
+            right = (-d[1], d[0])
+            straight = d
+            for pref in (right, straight, (-right[0], -right[1])):
+                nxt = next(
+                    (
+                        b
+                        for b in cands
+                        if (b[0] - v[0], b[1] - v[1]) == pref
+                    ),
+                    None,
+                )
+                if nxt is not None:
+                    break
+            assert nxt is not None
+        cands.remove(nxt)
+        return nxt
+
+    rings: list[np.ndarray] = []
+    for a, b in edges:
+        if b not in out_edges.get(a, []):
+            continue  # already consumed by an earlier ring walk
+        out_edges[a].remove(b)
+        path = [a, b]
+        cur, d = b, (b[0] - a[0], b[1] - a[1])
+        while cur != a:
+            nxt = _take(cur, d)
+            d = (nxt[0] - cur[0], nxt[1] - cur[1])
+            path.append(nxt)
+            cur = nxt
+        rings.append(np.array(path, dtype=np.float64))
+
+    outers: list[np.ndarray] = []
+    holes: list[np.ndarray] = []
+    for r in rings:
+        x, y = r[:-1, 0], r[:-1, 1]
+        x2, y2 = r[1:, 0], r[1:, 1]
+        signed = float(np.sum(x * y2 - x2 * y)) / 2.0
+        (outers if signed > 0 else holes).append(r)
+    polys: list[list[np.ndarray]] = [[o] for o in outers]
+    for hring in holes:
+        # test point: the empty pixel at the hole's top-left lattice corner
+        order = np.lexsort((hring[:-1, 0], hring[:-1, 1]))
+        v = hring[:-1][order[0]]
+        px, py = v[0] + 0.5, v[1] + 0.5
+        best, best_area = None, None
+        for p in polys:
+            if points_in_rings(np.array([px]), np.array([py]), [p[0]])[0]:
+                a = ring_area(p[0])
+                if best is None or a < best_area:
+                    best, best_area = p, a
+        if best is not None:
+            best.append(hring)
+    return polys
+
+
+def mask_rectangles(mask: np.ndarray) -> list[tuple[int, int, int, int]]:
+    """Decompose a binary mask into disjoint rectangles (r0, r1, c0, c1)
+    half-open: per-row runs merged vertically while identical — the
+    bounded partition the vector overlay clips against."""
+    m = np.asarray(mask, dtype=bool)
+    h, w = m.shape
+    open_runs: dict[tuple[int, int], int] = {}  # (c0, c1) -> r0
+    rects: list[tuple[int, int, int, int]] = []
+    for r in range(h + 1):
+        runs: set[tuple[int, int]] = set()
+        if r < h:
+            row = m[r]
+            c = 0
+            while c < w:
+                if row[c]:
+                    c0 = c
+                    while c < w and row[c]:
+                        c += 1
+                    runs.add((c0, c))
+                else:
+                    c += 1
+        for run, r0 in list(open_runs.items()):
+            if run not in runs:
+                rects.append((r0, r, run[0], run[1]))
+                del open_runs[run]
+        for run in runs:
+            if run not in open_runs:
+                open_runs[run] = r
+    return rects
+
+
+def overlay_nodata_intersection(
+    label_polys: list[list[np.ndarray]], valid_mask: np.ndarray
+) -> list[list[np.ndarray]]:
+    """gpd.overlay(vector, nodata_mask, 'intersection') analog: clip each
+    label polygon (rings in PIXEL coordinates) to the valid-data region.
+
+    The region is decomposed into rectangles (mask_rectangles) and each
+    polygon is Sutherland-Hodgman-clipped per rectangle — exact as a
+    covered REGION; the output is a partition along rectangle seams
+    rather than a dissolved geometry (parity with the per-pixel path is
+    asserted by rasterization in tests). Holes clip ring-by-ring, even-odd
+    semantics preserved."""
+    from geotiff_tiler_spark.operators import strtree as _st
+
+    out: list[list[np.ndarray]] = []
+    for r0, r1, c0, c1 in mask_rectangles(valid_mask):
+        for rings in label_polys:
+            clipped = []
+            for ring in rings:
+                cr = _st.clip_ring_to_box(ring, float(c0), float(r0), float(c1), float(r1))
+                if len(cr):
+                    clipped.append(cr)
+            if clipped and _st.ring_area(clipped[0]) > 0.0:
+                out.append(clipped)
+    return _st.repair_polygons(out)
+
+
+# ---------------------------------------------------------------------------
 # Erosion (X5)
 # ---------------------------------------------------------------------------
 
