@@ -96,20 +96,41 @@ def extract_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for _, row in pdf.iterrows():
-                arr = _fake_decode(bytes(row["payload"]), row["meta"])
-                per_c = arr.reshape(-1, arr.shape[2]).astype(np.float64)
-                means = per_c.mean(axis=0)
-                stds = per_c.std(axis=0)
-                hist, _ = np.histogram(arr, bins=8, range=(0, 256))
-                hist = hist / hist.sum()
-                feat = np.zeros(FEAT_DIM, dtype=np.float32)
-                feat[: len(means)] = means[:4]
-                feat[4 : 4 + len(stds[:4])] = stds[:4]
-                feat[8:16] = hist
-                out.append((int(row["media_id"]), row["kind"], feat.tolist()))
-            yield pd.DataFrame(out, columns=["media_id", "kind", "feat"])
+            payloads = pdf["payload"].to_list()
+            metas = pdf["meta"].to_list()
+            # decode once per row (per-payload by nature — sizes vary), then
+            # group same-shape decodes and VECTORIZE every reduction over
+            # the stacked group — the batch shape a real vectorized decoder
+            # (e.g. nvJPEG/torchvision batched decode) would feed
+            groups: dict[tuple, list[tuple[int, np.ndarray]]] = {}
+            for i, (p, m) in enumerate(zip(payloads, metas)):
+                arr = _fake_decode(bytes(p), m)
+                groups.setdefault(arr.shape, []).append((i, arr))
+            feats = np.zeros((len(pdf), FEAT_DIM), dtype=np.float32)
+            for shape, items in groups.items():
+                idx = np.fromiter((i for i, _ in items), dtype=np.intp)
+                stack = np.stack([a for _, a in items]).astype(np.float64)
+                b, c = len(items), shape[2]
+                flat = stack.reshape(b, -1, c)
+                means = flat.mean(axis=1)  # (B, C)
+                stds = flat.std(axis=1)
+                binned = (stack.reshape(b, -1) // 32).astype(np.intp)
+                offs = np.arange(b, dtype=np.intp)[:, None] * 8
+                hist = np.bincount(
+                    (binned + offs).ravel(), minlength=b * 8
+                ).reshape(b, 8)
+                hist = hist / hist.sum(axis=1, keepdims=True)
+                nc = min(c, 4)
+                feats[idx, :nc] = means[:, :nc]
+                feats[idx, 4 : 4 + nc] = stds[:, :nc]
+                feats[idx, 8:16] = hist
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "kind": pdf["kind"],
+                    "feat": list(feats),
+                }
+            )
 
     return media.mapInPandas(_feat, FEATURE_SCHEMA)
 

@@ -359,6 +359,17 @@ def band_buckets_union_sql(
 # ---------------------------------------------------------------------------
 
 
+def adaptive_ivf_clusters(n: int, lo: int = 8, hi: int = 4096) -> int:
+    """IVF list count scaling with the table size: the FAISS rule of thumb
+    nlist ~ 4*sqrt(n), clamped to [lo, hi]. hi matches the bounded
+    training sample (there can't be more centroids than sampled points);
+    per-query scan cost is ~ nprobe * n / nlist, so fixed-8 lists — fine
+    at sf0.01 — would scan n/8 vectors per probe at 100x scale."""
+    import math
+
+    return min(hi, max(lo, int(4 * math.sqrt(max(n, 1)))))
+
+
 def kmeans_fit(X, n_clusters: int, n_iter: int = 10, seed: int = 42):
     """Deterministic Lloyd k-means core (pure numpy, shared with the
     DuckDB oracle generator so both engines see bit-identical centroids)."""
@@ -399,28 +410,29 @@ def train_ivf_centroids(
 
 def ivf_assign(emb, centroids, vec_col: str = "embedding"):
     """Nearest-centroid id per vector — centroids enter the plan as array
-    literals (broadcast by value); assignment is pure JVM expressions."""
-    best_c = F.lit(0)
-    best_d = None
-    for ci, c in enumerate(centroids):
+    literals (broadcast by value); assignment is pure JVM expressions.
+
+    Argmin is array_position(dists, array_min(dists)) over a k-element
+    array — LINEAR expression size in k. (A nested when(d < best_d)
+    fold duplicates the best_d subtree on every step and blows up the
+    expression tree once k grows past ~16.) Ties resolve to the FIRST
+    minimal index, same as a strict-< scan and the oracle's
+    ROW_NUMBER ... ORDER BY d2, ci."""
+    dists = []
+    for c in centroids:
         arr = F.array([F.lit(float(v)) for v in c])
         diff = F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") - y)
-        d = F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x)
-        if best_d is None:
-            best_d = d
-            best_c = F.lit(ci)
-        else:
-            cond = d < best_d
-            best_c = F.when(cond, F.lit(ci)).otherwise(best_c)
-            best_d = F.when(cond, d).otherwise(best_d)
-    return emb.withColumn("ivf_cluster", best_c.cast("bigint"))
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))
+    darr = F.array(*dists)
+    best = F.array_position(darr, F.array_min(darr)) - 1
+    return emb.withColumn("ivf_cluster", best.cast("bigint"))
 
 
 def ivf_topk(
     emb,
     k: int = 5,
     query_mod: int = 25,
-    n_clusters: int = 16,
+    n_clusters: int | None = 16,
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -428,10 +440,13 @@ def ivf_topk(
     """IVF ANN: assign every vector to its nearest centroid; probe only the
     query's `nprobe` nearest clusters (equi-join on cluster id); exact
     cosine within the probed lists. Recall < 1 by construction — measured
-    against `cosine_topk` in tests."""
+    against `cosine_topk` in tests. `n_clusters=None` scales the list
+    count with the table size (adaptive_ivf_clusters)."""
     import numpy as np
     from pyspark.sql.window import Window
 
+    if n_clusters is None:
+        n_clusters = adaptive_ivf_clusters(emb.count())
     centroids = train_ivf_centroids(emb, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(emb, centroids, vec_col)
     c = assigned.select(

@@ -291,3 +291,17 @@ def test_choose_res_adapts_to_density(spark, docs):
     fine = choose_res(pts, target_rows_per_cell=5)
     assert coarse <= fine
     assert 2 <= coarse <= 8 and 2 <= fine <= 8
+
+
+def test_adaptive_ivf_clusters_scale_and_default_path(spark):
+    from geotiff_tiler_spark.operators import similarity
+
+    assert similarity.adaptive_ivf_clusters(500) == 89       # 4*sqrt(500)
+    assert similarity.adaptive_ivf_clusters(10**12) == 4096  # sample-capped
+    assert similarity.adaptive_ivf_clusters(1) == 8          # floor
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = similarity.ivf_topk(emb, k=5, query_mod=25, n_clusters=None, nprobe=8)
+    exact = similarity.cosine_topk(emb, k=5, query_mod=25)
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    hit = {(r.query_id, r.neighbor_id) for r in got.collect()}
+    assert len(want & hit) / len(want) >= 0.3  # many small lists, nprobe=8
