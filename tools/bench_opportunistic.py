@@ -1,0 +1,49 @@
+"""Opportunistic exclusive sampling: wait for idle windows (1-min load
+below a threshold), then take one scale-workload sample, alternating
+local[32] / local[8]. Appends to BENCH/samples.jsonl via bench_sample.py.
+
+The sandbox runs heavy background jobs at unpredictable times; a single
+bench invocation randomly lands on them (observed: identical code, 84s vs
+347s at local[32]). Best-of-all-exclusive-samples per level is the only
+defensible estimator here.
+
+Usage: python tools/bench_opportunistic.py <n_samples_per_level> [max_minutes]
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LOAD_THRESHOLD = 0.6
+
+
+def main() -> None:
+    per_level = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 90.0
+    deadline = time.time() + max_minutes * 60
+    plan = [32, 8] * per_level
+    taken = 0
+    while plan and time.time() < deadline:
+        load = os.getloadavg()[0]
+        if load >= LOAD_THRESHOLD:
+            time.sleep(45)
+            continue
+        cpus = plan.pop(0)
+        t0 = time.time()
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_sample.py"), str(cpus)],
+            capture_output=True, text=True, timeout=3000,
+        )
+        taken += 1
+        ok = "ok" if r.returncode == 0 else "FAIL"
+        print(f"sample {taken} cpus={cpus} {ok} {round(time.time()-t0,1)}s", flush=True)
+        time.sleep(20)  # let the JVM's load tail decay before re-checking
+    print(f"done: {taken} samples, {len(plan)} unplanned")
+
+
+if __name__ == "__main__":
+    main()
