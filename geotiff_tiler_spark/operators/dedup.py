@@ -36,11 +36,22 @@ def exact_dedup_groups(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact dedup: md5-group; canonical row = min doc_id per group.
 
     Output: one row per distinct text with group size and canonical id —
-    a single partial+final hash aggregate (map-side combined).
+    a single partial+final hash aggregate (map-side combined). The GROUPING
+    key is the 16-byte binary digest (unhex), not the 32-char hex string:
+    same groups (the hex form is a bijection of the bytes) but half the
+    shuffle payload on a mostly-unique key — at web scale this agg shuffles
+    nearly one key per row, so key width is the shuffle. The hex form is
+    restored after the aggregate for the public schema.
     """
-    return docs.groupBy(F.md5(F.col(text_col)).alias("text_md5")).agg(
-        F.count(F.lit(1)).alias("dup_cnt"),
-        F.min("doc_id").alias("canonical_doc"),
+    return (
+        docs.groupBy(F.unhex(F.md5(F.col(text_col))).alias("_k"))
+        .agg(
+            F.count(F.lit(1)).alias("dup_cnt"),
+            F.min("doc_id").alias("canonical_doc"),
+        )
+        .select(
+            F.lower(F.hex("_k")).alias("text_md5"), "dup_cnt", "canonical_doc"
+        )
     )
 
 
