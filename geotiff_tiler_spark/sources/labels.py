@@ -9,8 +9,10 @@ Classes follow the reference's default class set
 (reference tiler.py:166-172: fore/hydro/road/building).
 
 General (non-rectangular) polygons are exercised by the numpy STRtree
-path in operators/spatial_join.py with a pytest brute-force oracle —
-SQL can't express ray casting, so those stay out of the DuckDB contract.
+path in operators/spatial_join.py, verified BOTH by a pytest brute-force
+oracle AND by the q39 driver-contract query, whose DuckDB oracle
+re-expresses the ray cast in pure SQL over a flat edge table
+(label_polygon_edges) — an independent implementation, not a replay.
 
 Every formula is portable arithmetic on the portable hash, identical in
 Spark / DuckDB / numpy.
@@ -133,19 +135,18 @@ def repair_vector_layer(df: DataFrame, wkb_col: str = "wkb") -> DataFrame:
     return df.mapInPandas(_repair, schema)
 
 
-def label_polygons(spark, n: int = 60, seed: int = 42):
-    """Deterministic non-rectangular polygons for the general PIP path.
-
-    Mix of triangles, L-shapes, donuts (polygon with hole), and 2-part
-    multipolygons, sized like the boxes above. Columns:
-    (feature_id, class, wkb, xmin, ymin, xmax, ymax).
-    """
+def label_polygon_geoms(n: int = 60, seed: int = 42):
+    """Pure-Python generator for the deterministic polygon layer: list of
+    (feature_id, class, polys) where polys = list of polygons, each a list
+    of OPEN rings ((k,2) float64). Shared by the Spark loader
+    (label_polygons) and the q39 oracle's edge-table generator, so both
+    engines see bit-identical coordinates."""
     import numpy as np
 
     from geotiff_tiler_spark.operators import strtree as st
 
     rng = np.random.default_rng(seed)
-    rows = []
+    out = []
     for fid in range(n):
         cx = float(rng.uniform(-170, 170))
         cy = float(rng.uniform(-80, 80))
@@ -153,10 +154,9 @@ def label_polygons(spark, n: int = 60, seed: int = 42):
         h = float(rng.uniform(1.0, MAX_H))
         kind = fid % 4
         if kind == 0:  # triangle
-            pts = np.array([[cx - w / 2, cy - h / 2], [cx + w / 2, cy - h / 2], [cx, cy + h / 2]])
-            wkb = st.wkb_polygon([pts])
+            polys = [[np.array([[cx - w / 2, cy - h / 2], [cx + w / 2, cy - h / 2], [cx, cy + h / 2]])]]
         elif kind == 1:  # L-shape
-            pts = np.array(
+            polys = [[np.array(
                 [
                     [cx - w / 2, cy - h / 2],
                     [cx + w / 2, cy - h / 2],
@@ -165,8 +165,7 @@ def label_polygons(spark, n: int = 60, seed: int = 42):
                     [cx, cy + h / 2],
                     [cx - w / 2, cy + h / 2],
                 ]
-            )
-            wkb = st.wkb_polygon([pts])
+            )]]
         elif kind == 2:  # donut: outer box + inner hole
             outer = np.array(
                 [[cx - w / 2, cy - h / 2], [cx + w / 2, cy - h / 2], [cx + w / 2, cy + h / 2], [cx - w / 2, cy + h / 2]]
@@ -174,17 +173,60 @@ def label_polygons(spark, n: int = 60, seed: int = 42):
             hole = np.array(
                 [[cx - w / 4, cy - h / 4], [cx + w / 4, cy - h / 4], [cx + w / 4, cy + h / 4], [cx - w / 4, cy + h / 4]]
             )
-            wkb = st.wkb_polygon([outer, hole])
+            polys = [[outer, hole]]
         else:  # multipolygon: two disjoint triangles
             t1 = np.array([[cx - w / 2, cy - h / 2], [cx - w / 6, cy - h / 2], [cx - w / 3, cy + h / 2]])
             t2 = np.array([[cx + w / 6, cy - h / 2], [cx + w / 2, cy - h / 2], [cx + w / 3, cy + h / 2]])
-            wkb = st.wkb_multipolygon([[t1], [t2]])
-        polys = st.parse_wkb(bytes(wkb))
-        bx = st.polygon_bbox(polys)
+            polys = [[t1], [t2]]
+        out.append((fid, CLASSES[fid % 4], polys))
+    return out
+
+
+def label_polygon_edges(n: int = 60, seed: int = 42):
+    """Flat edge table of the polygon layer: rows
+    (feature_id, class, poly_idx, x1, y1, x2, y2) over CLOSED rings —
+    exactly the point pairs the numpy ray-cast kernel walks after the WKB
+    roundtrip (strtree.points_in_rings pairs r[:-1] with r[1:] on the
+    closed ring). Used to build the q39 pure-SQL oracle."""
+    rows = []
+    for fid, cls, polys in label_polygon_geoms(n, seed):
+        for pi, rings in enumerate(polys):
+            for r in rings:
+                k = len(r)
+                for i in range(k):
+                    x1, y1 = float(r[i][0]), float(r[i][1])
+                    x2, y2 = float(r[(i + 1) % k][0]), float(r[(i + 1) % k][1])
+                    rows.append((fid, cls, pi, x1, y1, x2, y2))
+    return rows
+
+
+def label_polygons(spark, n: int = 60, seed: int = 42, repair: bool = True):
+    """Deterministic non-rectangular polygons for the general PIP path.
+
+    Mix of triangles, L-shapes, donuts (polygon with hole), and 2-part
+    multipolygons, sized like the boxes above. Columns:
+    (feature_id, class, wkb, xmin, ymin, xmax, ymax).
+
+    The layer routes through `repair_vector_layer` on load (F2 wiring:
+    every polygon entering a spatial join is make_valid-repaired and
+    invalid/empty rows are dropped, like the reference's load stage —
+    round-2 ADVICE; for this already-valid synthetic layer the repair is
+    a verified no-op). Pass repair=False to inspect the raw layer.
+    """
+    from geotiff_tiler_spark.operators import strtree as st
+
+    rows = []
+    for fid, cls, polys in label_polygon_geoms(n, seed):
+        if len(polys) == 1:
+            wkb = st.wkb_polygon(polys[0])
+        else:
+            wkb = st.wkb_multipolygon(polys)
+        bx = st.polygon_bbox(st.parse_wkb(bytes(wkb)))
         rows.append(
-            (fid, CLASSES[fid % 4], bytearray(wkb), float(bx[0]), float(bx[1]), float(bx[2]), float(bx[3]))
+            (fid, cls, bytearray(wkb), float(bx[0]), float(bx[1]), float(bx[2]), float(bx[3]))
         )
-    return spark.createDataFrame(
+    df = spark.createDataFrame(
         rows,
         "feature_id long, class string, wkb binary, xmin double, ymin double, xmax double, ymax double",
     )
+    return repair_vector_layer(df) if repair else df
