@@ -1,0 +1,164 @@
+"""Round-3 scale-path tests: hyperplane banded LSH cross-engine parity and
+the broadcast-numpy IVF paths (assignment + probing) against the
+plan-expression paths they replace past IVF_EXPR_MAX_LISTS."""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.operators import similarity
+
+SF001 = "/root/testdata/sf0.001"
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_hyperplane_buckets_cross_engine_parity(spark):
+    """The (band, bucket) table the Spark pandas UDF produces must equal
+    the DuckDB list_sum twin EXACTLY — guaranteed by the integer-exact
+    quantized projection (floor(v * HP_QUANT) then +-1 integer sums)."""
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    bits = similarity.adaptive_sign_bits(emb.count())
+    got = {
+        (r.vec_id, r.band, r.bucket)
+        for r in similarity._band_explode(emb, "embedding", bits, 4)
+        .select("vec_id", "band", "bucket")
+        .collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{SF01}/embeddings.parquet'"
+    )
+    want = {
+        tuple(r)
+        for r in con.execute(
+            similarity.band_buckets_union_sql("vec_id", "embedding", "embeddings", bits)
+        ).fetchall()
+    }
+    con.close()
+    assert got == want and len(got) == 4 * emb.count()
+
+
+def test_adaptive_bits_web_scale_uncapped():
+    """10^12-doc corpora need 32 bits; the hyperplane scheme provides them
+    (the old coordinate scheme capped at 16 = quadratic growth past ~17M)."""
+    assert similarity.adaptive_sign_bits(10**12) == 32
+    assert similarity.adaptive_sign_bits(256 * 2**42 * 4) == 42  # hi clamp
+    assert similarity.adaptive_sign_bits(100) == 4  # lo floor
+
+
+def test_hyperplane_signs_deterministic_and_balanced():
+    a = similarity.hyperplane_signs(4, 8)
+    b = similarity.hyperplane_signs(4, 8)
+    assert a == b and len(a) == 32 and all(len(r) == similarity.EMB_DIM for r in a)
+    # prefix property: band b's rows don't depend on the total band count
+    assert similarity.hyperplane_signs(2, 8) == a[:16]
+    flat = np.asarray(a)
+    assert set(np.unique(flat)) == {-1, 1}
+    # roughly balanced signs (md5 bits): no hyperplane is constant
+    assert (np.abs(flat.sum(axis=1)) < similarity.EMB_DIM).all()
+
+
+def test_neardup_banded_recovers_known_pair(spark):
+    """The one true cosine>=0.5 pair at sf0.01 must survive the blocking at
+    the near-dup default band count (NEARDUP_BANDS=8; 4 bands miss it —
+    the recall-vs-cost tradeoff documented on NEARDUP_BANDS)."""
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in similarity.neardup_pairs_banded(emb, threshold=0.5).collect()
+    }
+    assert (169, 466) in pairs
+
+
+def test_ivf_assign_udf_path_matches_expression_path(spark):
+    """Past IVF_EXPR_MAX_LISTS the assignment runs as a broadcast-numpy
+    pandas UDF; on the same centroids it must agree with the plan-literal
+    expression path (ties are measure-zero in this data, so exact
+    agreement is required, not just recall parity)."""
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    cent = similarity.train_ivf_centroids(emb, n_clusters=16)
+    expr = {
+        (r.vec_id, r.ivf_cluster)
+        for r in similarity.ivf_assign(emb, cent).select("vec_id", "ivf_cluster").collect()
+    }
+    udf = {
+        (r.vec_id, r.ivf_cluster)
+        for r in emb.withColumn(
+            "ivf_cluster", similarity._centroid_argmin_udf(cent)(F.col("embedding"))
+        )
+        .select("vec_id", "ivf_cluster")
+        .collect()
+    }
+    assert expr == udf
+
+
+def test_ivf_topk_udf_path_matches_expression_path(spark, monkeypatch):
+    """Full ivf_topk with the UDF paths forced (IVF_EXPR_MAX_LISTS=0) must
+    reproduce the expression-path result row-for-row."""
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    want = sorted(
+        map(tuple, similarity.ivf_topk(emb, k=5, query_mod=25, n_clusters=8, nprobe=3).collect())
+    )
+    monkeypatch.setattr(similarity, "IVF_EXPR_MAX_LISTS", 0)
+    got = sorted(
+        map(tuple, similarity.ivf_topk(emb, k=5, query_mod=25, n_clusters=8, nprobe=3).collect())
+    )
+    assert got == want
+
+
+def test_chunked_d2_bit_identical():
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(700, 64))
+    C = rng.normal(size=(33, 64))
+    want = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    got = similarity._chunked_d2(X, C, chunk=256)
+    assert (got == want).all()  # bitwise, not allclose
+
+
+def test_kmeans_fit_unchanged_by_chunking():
+    """Chunking must not move the centroids at all (the q36 oracle replays
+    kmeans_fit, so any drift would break the contract)."""
+    rng = np.random.default_rng(42)
+    X = rng.normal(size=(512, 64))
+    c1 = similarity.kmeans_fit(X.copy(), n_clusters=8)
+    c2 = similarity.kmeans_fit(X.copy(), n_clusters=8)
+    assert (c1 == c2).all()
+
+
+def test_label_polygons_repair_is_noop_on_valid_layer(spark):
+    """F2 load wiring: the synthetic layer is valid, so repair must keep
+    every feature and every bbox."""
+    from geotiff_tiler_spark.sources import labels
+
+    raw = labels.label_polygons(spark, n=60, repair=False).collect()
+    rep = labels.label_polygons(spark, n=60, repair=True).collect()
+    assert len(raw) == len(rep) == 60
+    want = {r.feature_id: (r.xmin, r.ymin, r.xmax, r.ymax) for r in raw}
+    got = {r.feature_id: (r.xmin, r.ymin, r.xmax, r.ymax) for r in rep}
+    assert got == want
+
+
+def test_label_polygon_edges_match_wkb_roundtrip():
+    """The q39 oracle's edge table must walk the same closed-ring point
+    pairs the numpy kernel sees after the WKB roundtrip."""
+    from geotiff_tiler_spark.operators import strtree as st
+    from geotiff_tiler_spark.sources import labels
+
+    edges = labels.label_polygon_edges(n=8)
+    by_fid: dict[int, set] = {}
+    for fid, cls, pi, x1, y1, x2, y2 in edges:
+        by_fid.setdefault(fid, set()).add((pi, x1, y1, x2, y2))
+    for fid, cls, polys in labels.label_polygon_geoms(n=8):
+        if len(polys) == 1:
+            wkb = st.wkb_polygon(polys[0])
+        else:
+            wkb = st.wkb_multipolygon(polys)
+        want = set()
+        for pi, rings in enumerate(st.parse_wkb(bytes(wkb))):
+            for r in rings:
+                for a, b in zip(r[:-1], r[1:]):
+                    want.add((pi, float(a[0]), float(a[1]), float(b[0]), float(b[1])))
+        assert by_fid[fid] == want, fid
