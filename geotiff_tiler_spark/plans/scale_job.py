@@ -76,6 +76,7 @@ def run_scale_workload(spark: SparkSession, n_pages: int, n_boxes: int = 20000) 
     sigs = dedup.minhash_signature(sub)
     pairs = dedup.lsh_candidate_pairs(dedup.lsh_buckets(sigs))
     n_pairs = pairs.count()
+    t_lsh = time.time()
     n_groups = dedup.exact_dedup_groups(docs).count()
     t_dedup = time.time()
 
@@ -92,6 +93,8 @@ def run_scale_workload(spark: SparkSession, n_pages: int, n_boxes: int = 20000) 
         "sec_tiling": round(t_tiles - t0, 2),
         "sec_join": round(t_join - t_tiles, 2),
         "sec_dedup": round(t_dedup - t_join, 2),
+        "sec_dedup_lsh": round(t_lsh - t_join, 2),
+        "sec_dedup_exact": round(t_dedup - t_lsh, 2),
         "sec_total": round(total, 2),
         "tiles_join_rows_per_sec": round(out_rows / total, 1),
     }

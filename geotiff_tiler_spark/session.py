@@ -44,6 +44,15 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # GC selection for the local-mode JVM (driver == all executors): the
+    # throughput collector can beat G1 on batch pipelines where 32 task
+    # threads allocate fast into one shared heap. Benchmarked via
+    # SPARK_GRAFT_GC=parallel; default leaves the JVM default (G1).
+    gc = os.environ.get("SPARK_GRAFT_GC", "")
+    if gc == "parallel":
+        builder = builder.config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+    elif gc == "g1":
+        builder = builder.config("spark.driver.extraJavaOptions", "-XX:+UseG1GC")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -1,0 +1,44 @@
+"""Merge BENCH/headline_samples.jsonl into BENCH/headline_best.json:
+per-query minimum over the exclusive samples (the least-contended
+measurement of each query) plus the best whole-suite total. Output-row
+parity across samples is asserted — identical code on identical input
+must count identical rows at every sample.
+
+Usage: python tools/bench_headline_finalize.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    path = os.path.join(REPO, "BENCH", "headline_samples.jsonl")
+    with open(path) as fh:
+        samples = [json.loads(l) for l in fh if l.strip()]
+    samples = [s for s in samples if s.get("cpus") == 32]
+    assert samples, "no local[32] headline samples"
+    rows0 = samples[0]["rows"]
+    for s in samples[1:]:
+        assert s["rows"] == rows0, ("row parity violated", s["ts"])
+    best_q = {
+        q: min(s["queries"][q] for s in samples if q in s["queries"])
+        for q in samples[0]["queries"]
+    }
+    out = {
+        "n_samples": len(samples),
+        "sf_dir": samples[0]["sf_dir"],
+        "queries_best": best_q,
+        "sum_of_best": round(sum(best_q.values()), 3),
+        "best_total": min(s["total"] for s in samples),
+    }
+    with open(os.path.join(REPO, "BENCH", "headline_best.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

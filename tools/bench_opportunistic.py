@@ -22,25 +22,32 @@ LOAD_THRESHOLD = 0.6
 
 
 def main() -> None:
+    """Plan entries: '32' / '8' = scale-workload sample at that parallelism;
+    'h32' = headline-suite sample (tools/bench_headline_sample.py)."""
     per_level = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 90.0
+    cycle = (sys.argv[3].split(",") if len(sys.argv) > 3 else ["32", "8"])
     deadline = time.time() + max_minutes * 60
-    plan = [32, 8] * per_level
+    plan = cycle * per_level
     taken = 0
     while plan and time.time() < deadline:
         load = os.getloadavg()[0]
         if load >= LOAD_THRESHOLD:
             time.sleep(45)
             continue
-        cpus = plan.pop(0)
+        item = plan.pop(0)
+        if item.startswith("h"):
+            script, cpus = "bench_headline_sample.py", item[1:]
+        else:
+            script, cpus = "bench_sample.py", item
         t0 = time.time()
         r = subprocess.run(
-            [sys.executable, os.path.join(REPO, "tools", "bench_sample.py"), str(cpus)],
+            [sys.executable, os.path.join(REPO, "tools", script), cpus],
             capture_output=True, text=True, timeout=3000,
         )
         taken += 1
         ok = "ok" if r.returncode == 0 else "FAIL"
-        print(f"sample {taken} cpus={cpus} {ok} {round(time.time()-t0,1)}s", flush=True)
+        print(f"sample {taken} {item} {ok} {round(time.time()-t0,1)}s", flush=True)
         time.sleep(20)  # let the JVM's load tail decay before re-checking
     print(f"done: {taken} samples, {len(plan)} unplanned")
 

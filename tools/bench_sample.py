@@ -42,6 +42,7 @@ def main() -> None:
     rec["load_at_start"] = round(load0, 2)
     rec["ts"] = int(time.time())
     rec["heap"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    rec["gc"] = os.environ.get("SPARK_GRAFT_GC", "default")
     rec["parts"] = parts
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "samples.jsonl"), "a") as fh:
