@@ -97,3 +97,23 @@ def test_exact_dedup_groups(spark):
     )
     rows = {r.text_md5: (r.dup_cnt, r.canonical_doc) for r in dedup.exact_dedup_groups(df).collect()}
     assert sorted(rows.values()) == [(1, 3), (2, 1)]
+
+
+def test_minhash_fold_matches_exploded_plan(spark):
+    """The shuffle-free fold signature must be bit-identical to the
+    round-1/2 explode+agg plan on real data, including empty-shingle docs
+    (sentinel path)."""
+    from pyspark.sql import functions as F
+
+    from geotiff_tiler_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    # add an empty and a sub-k-token doc to force the sentinel branch
+    extra = spark.createDataFrame(
+        [(10**9, "", "en"), (10**9 + 1, "one two", "en")],
+        "doc_id long, text string, lang string",
+    )
+    docs = docs.select("doc_id", "text", "lang").unionByName(extra)
+    a = sorted(map(tuple, dedup.minhash_signature(docs).collect()))
+    b = sorted(map(tuple, dedup._minhash_signature_exploded(docs).collect()))
+    assert a == b
