@@ -19,9 +19,13 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def main() -> None:
     with open(os.path.join(REPO, "BENCH", "samples.jsonl")) as fh:
         samples = [json.loads(l) for l in fh if l.strip()]
-    # canonical engine config only (default 8g heap; experiment rows with
-    # other heaps are excluded from the evidence)
-    samples = [s for s in samples if s.get("heap", "8g") in (None, "8g")]
+    # canonical engine config only (default 8g heap, default GC);
+    # experiment rows with other configs are excluded from the evidence
+    samples = [
+        s for s in samples
+        if s.get("heap", "8g") in (None, "8g")
+        and s.get("gc", "default") in (None, "default")
+    ]
     lo_all = [s for s in samples if s["cpus"] == 8]
     hi_all = [s for s in samples if s["cpus"] == 32]
     assert lo_all and hi_all, "need samples at both levels"
@@ -62,7 +66,10 @@ def main() -> None:
         "| stage | @N | @4N | speedup |",
         "|---|---|---|---|",
     ]
-    for st in ("sec_gen", "sec_tiling", "sec_join", "sec_dedup"):
+    stages = ["sec_gen", "sec_tiling", "sec_join", "sec_dedup"]
+    if "sec_dedup_lsh" in r_lo and "sec_dedup_lsh" in r_hi:
+        stages += ["sec_dedup_lsh", "sec_dedup_exact"]
+    for st in stages:
         a, b = r_lo[st], r_hi[st]
         sp = (a / b) if b else float("nan")
         lines.append(f"| {st[4:]} | {a} | {b} | {sp:.2f}x |")
@@ -77,11 +84,15 @@ def main() -> None:
         "a local[8] run (24 cores stay free) but steal cores from a local[32] run",
         "directly, so mid-run bursts bias the measured efficiency DOWN, never up;",
         "the reported number is therefore a lower bound on the engine's own",
-        "scaling. Round 1 recorded 0.871 from a local[8] sample of 279.67s —",
-        "today's local[8] runs cluster at 239-269s on identical code, which",
-        "says that round-1 lo sample itself carried contention (inflating the",
-        "apparent speedup); the round-2 figure is measured more honestly, not",
-        "a regression of the engine.",
+        "scaling.",
+        "",
+        "Samples are round-3 only (BENCH/samples_r2.jsonl archives rounds 1-2):",
+        "round 3 replaced the explode-based MinHash plan with a shuffle-free",
+        "per-row fold (bit-identical outputs, so the parity keys still match,",
+        "but timings of different code may not share a best-of estimator).",
+        "Stage sub-timers (sec_dedup_lsh / sec_dedup_exact) were also added",
+        "this round; they localized the 4N drag to the shingle explode, which",
+        "profiling showed memory-bandwidth-bound — the motivation for the fold.",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
