@@ -80,6 +80,32 @@ def foreach_batch_tiler(params: TilingParams, out_dir: str, manifest_dir: str):
     return _process
 
 
+def streaming_exact_dedup(
+    pages: DataFrame,
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: first-seen-wins on the text digest, the
+    streaming form of `dedup.exact_dedup_groups` (the batch ladder's first
+    rung). State is the digest set within the watermark horizon —
+    `dropDuplicatesWithinWatermark`, NOT `dropDuplicates`, whose state
+    grows without bound on an infinite stream. The dedup key is the
+    16-byte binary md5 (same key as the batch operator: half the state
+    width of the hex form on a mostly-unique key).
+
+    Semantics note: duplicates separated by more than the watermark horizon
+    are NOT collapsed (bounded-state tradeoff); the batch exact dedup over
+    the at-rest table remains the exactness baseline.
+    """
+    keyed = pages.withColumn("_text_md5", F.unhex(F.md5(F.col(text_col))))
+    return (
+        keyed.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(["_text_md5"])
+        .drop("_text_md5")
+    )
+
+
 def stateful_image_stats(
     pages: DataFrame,
     params: TilingParams,

@@ -131,3 +131,32 @@ def test_stateful_image_stats(spark, tmp_path_factory):
         assert got[image_id][0] == n
         assert abs(got[image_id][1] - round(mean, 6)) < 1e-9
         assert abs(got[image_id][2] - round(std, 6)) < 1e-9
+
+
+def test_streaming_exact_dedup(spark, tmp_path_factory):
+    """First-seen-wins on the text digest with watermark-bounded state:
+    the synthetic pages table clones text at doc_id % 17 == 16, so the
+    streaming output must keep exactly one row per distinct text (all
+    events share one micro-batch here, well inside the horizon)."""
+    base = str(tmp_path_factory.mktemp("stream3"))
+    src = f"{base}/src"
+    pages.synth_pages(spark, 400).write.parquet(src)
+    stream = ingest.read_pages_stream(spark, src)
+    dd = ingest.streaming_exact_dedup(stream, watermark="2 hours")
+    q = (
+        dd.writeStream.format("memory")
+        .queryName("dedupstream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM dedupstream")
+    n_distinct = (
+        spark.read.parquet(src).select(F.md5("text")).distinct().count()
+    )
+    assert got.count() == n_distinct
+    # one row per digest, and schema passes through unchanged
+    assert got.select(F.md5("text")).distinct().count() == n_distinct
+    assert set(got.columns) == set(spark.read.parquet(src).columns)
