@@ -701,6 +701,14 @@ def q39_pip_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spatial_join.point_in_polygon_join(pts, polys, res=None)
 
 
+def q40_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data decontamination (LLM-pipeline hygiene op): flag corpus
+    docs sharing any k-gram with the held-out eval subset. The eval side's
+    distinct k-gram set is broadcast; the corpus is never shuffled — only
+    the per-doc overlap count aggregates (partial+final)."""
+    return dedup.decontamination_hits(_docs(spark, sf_dir), eval_mod=50)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -763,6 +771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q37_sessionize": q37_sessionize,
         "q38_cell_rollup": q38_cell_rollup,
         "q39_pip_polygons": q39_pip_polygons,
+        "q40_decontamination": q40_decontamination,
     }
 
 
@@ -1503,4 +1512,5 @@ ranked AS (
 SELECT query_id, rank, neighbor_id, ROUND(dist2, 9) AS dist2 FROM ranked WHERE rank <= 5
 """,
         "q39_pip_polygons": _q39_oracle(),
+        "q40_decontamination": dedup.decontamination_sql(eval_mod=50),
     }

@@ -324,3 +324,60 @@ def simhash_sql(expr: str = "text", bits: int = SIMHASH_BITS) -> str:
         )
         terms.append(f"CASE WHEN COALESCE({bit_sum}, 0) > 0 THEN {pw} ELSE 0 END")
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def decontamination_hits(
+    docs: DataFrame,
+    eval_mod: int = 50,
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Training-data decontamination: flag corpus docs sharing any k-gram
+    with the held-out eval set (docs with doc_id % eval_mod == 0 — stands
+    in for a benchmark suite). The standard LLM-pipeline pre-training
+    hygiene op: n-gram overlap against eval benchmarks.
+
+    Plan shape (the part that matters at 100 TB): the EVAL side is tiny by
+    construction, so its distinct k-gram set is BROADCAST; the corpus side
+    explodes its distinct k-grams narrowly and semi-joins — the corpus is
+    never shuffled, and the only aggregate is the per-doc overlap count
+    (partial+final). Output: (doc_id, n_shared) for contaminated corpus
+    docs only.
+    """
+    evalg = (
+        docs.filter(F.col("doc_id") % eval_mod == 0)
+        .select(F.explode(F.array_distinct(T.shingles(text_col, k))).alias("g"))
+        .distinct()
+    )
+    corpus = docs.filter(F.col("doc_id") % eval_mod != 0)
+    grams = corpus.select(
+        "doc_id", F.explode(F.array_distinct(T.shingles(text_col, k))).alias("g")
+    )
+    return (
+        grams.join(F.broadcast(evalg), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+def decontamination_sql(
+    eval_mod: int = 50, text_expr: str = "text", k: int = SHINGLE_K,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of decontamination_hits (shared shingles_sql helper)."""
+    sh = T.shingles_sql(text_expr, k)
+    return f"""
+WITH evalg AS (
+  SELECT DISTINCT g.g AS g
+  FROM {table}, unnest(list_distinct({sh})) AS g(g)
+  WHERE doc_id % {eval_mod} = 0
+),
+grams AS (
+  SELECT doc_id, g.g AS g
+  FROM {table}, unnest(list_distinct({sh})) AS g(g)
+  WHERE doc_id % {eval_mod} <> 0
+)
+SELECT grams.doc_id, COUNT(*) AS n_shared
+FROM grams JOIN evalg ON grams.g = evalg.g
+GROUP BY grams.doc_id
+"""
