@@ -324,9 +324,11 @@ def q17_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded sign-LSH ANN top-k (similarity scale path): candidates are
     the union of ANN_BANDS independent sign-bit band matches with
     data-adaptive bits per band (adaptive_sign_bits), so bucket occupancy
-    — and the candidate count per query — stays bounded as n grows."""
+    — and the candidate count per query — stays bounded as n grows.
+    `n` comes from parquet footer metadata (_emb_n) — the SAME number the
+    oracle generator sizes its bits from; no sizing count() scan."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.ann_topk_banded(emb, k=5, query_mod=25)
+    return similarity.ann_topk_banded(emb, k=5, query_mod=25, n=_emb_n(sf_dir))
 
 
 def q18_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -587,9 +589,10 @@ def q32_regex_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q33_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: banded sign-LSH blocking + cosine refine
     (the embedding leg of the dedup ladder). Candidate pairs grow
-    ~linearly in n at fixed bucket occupancy instead of O(n^2/16)."""
+    ~linearly in n at fixed bucket occupancy instead of O(n^2/16).
+    `n` from parquet footer metadata — same source as the oracle's bits."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return similarity.neardup_pairs_banded(emb, threshold=0.5)
+    return similarity.neardup_pairs_banded(emb, threshold=0.5, n=_emb_n(sf_dir))
 
 
 def q34_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -945,21 +948,40 @@ FROM crossings WHERE n_cross % 2 = 1
 """
 
 
-def _emb_count() -> int:
-    import duckdb
+def _emb_n(sf_dir: str) -> int:
+    """THE single source of `n` for adaptive-bits sizing (q17/q33).
 
-    con = duckdb.connect()
-    n = con.execute(
-        f"SELECT COUNT(*) FROM '{_oracle_sf_dir()}/embeddings.parquet'"
-    ).fetchone()[0]
-    con.close()
-    return int(n)
+    Both the Spark query (via ``n=_emb_n(sf_dir)``) and the oracle
+    generator (via ``_emb_n(_oracle_sf_dir())``) call this; parquet footer
+    metadata makes it free (no table scan — the round-3 fix for the
+    avoidable full ``count()`` per contract call). The generated oracle
+    SQL additionally self-asserts its table count equals this n (see
+    ``_bits_guard_sql``), so a harness that points the views at a
+    different scale factor fails LOUDLY instead of silently comparing
+    mismatched bucket schemes."""
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(f"{sf_dir}/embeddings.parquet").metadata.num_rows)
+
+
+def _bits_guard_sql(n: int) -> str:
+    """WHERE-clause guard: errors if the embeddings view the oracle runs
+    against doesn't have the row count the literal hyperplane bits were
+    sized for (DuckDB evaluates error() only on the ELSE branch)."""
+    return (
+        f"CASE WHEN (SELECT COUNT(*) FROM embeddings) = {n} THEN TRUE "
+        f"ELSE error('oracle bits sized for n={n} embeddings; "
+        f"view count differs — set SPARK_GRAFT_ORACLE_SF_DIR to the sf dir "
+        f"the queries run at') END"
+    )
 
 
 def _q17_oracle() -> str:
-    """Banded sign-LSH ANN twin: same bands/bits (adaptive from the table
-    count), same band-union candidate set, same cosine + top-k."""
-    bits = similarity.adaptive_sign_bits(_emb_count())
+    """Banded sign-LSH ANN twin: same bands/bits (adaptive from the SAME
+    `n` the Spark side receives — _emb_n), same band-union candidate set,
+    same cosine + top-k. Self-asserts the view count matches `n`."""
+    n = _emb_n(_oracle_sf_dir())
+    bits = similarity.adaptive_sign_bits(n)
     bands = similarity.band_buckets_union_sql("vec_id", "embedding", "embeddings", bits)
     return f"""
 WITH b AS (
@@ -982,7 +1004,8 @@ ranked AS (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
   FROM scored
 )
-SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+SELECT query_id, rank, neighbor_id, cosine FROM ranked
+WHERE rank <= 5 AND {_bits_guard_sql(n)}
 """
 
 
@@ -990,8 +1013,10 @@ def _q33_oracle() -> str:
     """Banded sign-LSH near-dup twin of similarity.neardup_pairs_banded
     (NEARDUP_BANDS bands — the near-dup path runs more bands than ANN
     top-k because low-threshold pairs agree with any one band less often;
-    see the recall math at similarity.NEARDUP_BANDS)."""
-    bits = similarity.adaptive_sign_bits(_emb_count())
+    see the recall math at similarity.NEARDUP_BANDS). Bits derive from
+    the same _emb_n as the Spark side; the SQL self-asserts the count."""
+    n = _emb_n(_oracle_sf_dir())
+    bits = similarity.adaptive_sign_bits(n)
     bands = similarity.band_buckets_union_sql(
         "vec_id", "embedding", "embeddings", bits, bands=similarity.NEARDUP_BANDS
     )
@@ -1013,7 +1038,7 @@ v AS (
 )
 SELECT id_a, id_b, {cos} AS cosine
 FROM v
-WHERE {cos} >= 0.5
+WHERE {cos} >= 0.5 AND {_bits_guard_sql(n)}
 """
 
 

@@ -138,10 +138,17 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
         big = part if big is None else big.unionByName(part)
     bits1 = similarity.adaptive_sign_bits(n_emb, rows_per_bucket=32)
     bits10 = similarity.adaptive_sign_bits(10 * n_emb, rows_per_bucket=32)
-    cand1 = similarity.neardup_candidate_count(emb, bits=bits1)
-    cand10 = similarity.neardup_candidate_count(big, bits=bits10)
+    # bands must match the SHIPPED q33 near-dup path (NEARDUP_BANDS, not
+    # the ANN default) so the recorded blocking cost is the real one
+    cand1 = similarity.neardup_candidate_count(
+        emb, bits=bits1, bands=similarity.NEARDUP_BANDS
+    )
+    cand10 = similarity.neardup_candidate_count(
+        big, bits=bits10, bands=similarity.NEARDUP_BANDS
+    )
     lsh_blocking = {
         "n": n_emb,
+        "bands": similarity.NEARDUP_BANDS,
         "bits": bits1,
         "candidate_pairs": cand1,
         "n_10x": 10 * n_emb,

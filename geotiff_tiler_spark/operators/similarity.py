@@ -226,6 +226,8 @@ def hp_buckets_udf(bits: int, bands: int, dim: int = EMB_DIM):
     weights = (np.int64(1) << np.arange(bits, dtype=np.int64))
 
     def _buckets(vecs):
+        if len(vecs) == 0:  # Spark may hand pandas UDFs zero-row batches
+            return pd.Series([], dtype=object)
         X = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
         Q = np.floor(X * HP_QUANT).astype(np.int64)
         P = (Q @ S) > 0  # (n, bands*bits) sign bits
@@ -523,6 +525,8 @@ def _centroid_argmin_udf(centroids):
     C = np.asarray(centroids, dtype=np.float64)
 
     def _assign(vecs):
+        if len(vecs) == 0:  # zero-row Arrow batch: np.stack would raise
+            return pd.Series([], dtype=np.int64)
         X = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
         return pd.Series(_chunked_d2(X, C).argmin(axis=1).astype(np.int64))
 
@@ -568,6 +572,8 @@ def _centroid_probes_udf(centroids, nprobe: int):
     p = min(nprobe, len(C))
 
     def _probes(vecs):
+        if len(vecs) == 0:  # zero-row Arrow batch: np.stack would raise
+            return pd.Series([], dtype=object)
         X = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
         d2 = _chunked_d2(X, C)
         idx = np.argsort(d2, axis=1, kind="stable")[:, :p].astype(np.int64)

@@ -101,6 +101,14 @@ class _ShardRotator:
             self.tf = None
 
     def write(self, key: str, members: list[tuple[str, bytes]]) -> None:
+        # read_webdataset recovers the sample key via name.split('.', 1):
+        # a dotted key would silently mis-split into a wrong key/member
+        # pair on read-back — fail loudly at write time instead
+        if "." in key:
+            raise ValueError(
+                f"WebDataset sample key {key!r} contains '.', which is the "
+                "key/member separator — read-back would corrupt it"
+            )
         size = sum(len(p) for _, p in members)
         if self.n > 0 and (self.n >= self.max_count or self.bytes + size > self.max_bytes):
             self._roll()

@@ -197,8 +197,12 @@ def test_banded_lsh_candidates_grow_linearly(spark):
     bits1 = similarity.adaptive_sign_bits(n1, rows_per_bucket=32)
     bits10 = similarity.adaptive_sign_bits(n10, rows_per_bucket=32)
     assert bits10 > bits1  # the bits actually adapt upward with n
-    c1 = similarity.neardup_candidate_count(base, bits=bits1)
-    c10 = similarity.neardup_candidate_count(big, bits=bits10)
+    c1 = similarity.neardup_candidate_count(
+        base, bits=bits1, bands=similarity.NEARDUP_BANDS
+    )
+    c10 = similarity.neardup_candidate_count(
+        big, bits=bits10, bands=similarity.NEARDUP_BANDS
+    )
     growth = c10 / max(c1, 1)
     # quadratic (fixed-bucket) growth would be ~100x; adaptive banding
     # must stay within ~2x of linear
