@@ -222,46 +222,82 @@ def point_in_polygon_join(
         .drop("_nsalt")
     )
 
-    def _probe(pts_pdf: pd.DataFrame, polys_pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        if len(pts_pdf) == 0 or len(polys_pdf) == 0:
-            return pd.DataFrame({"doc_id": [], "feature_id": [], "class": []}).astype(
-                {"doc_id": "int64", "feature_id": "int64", "class": "object"}
-            )
-        boxes = polys_pdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy(dtype=np.float64)
-        tree = _st.STRtree(boxes)
-        xs = pts_pdf["lon"].to_numpy(dtype=np.float64)
-        ys = pts_pdf["lat"].to_numpy(dtype=np.float64)
-        out_doc, out_feat, out_cls = [], [], []
-        wkbs = polys_pdf["wkb"].to_list()
-        feats = polys_pdf["feature_id"].to_numpy()
-        classes = polys_pdf["class"].to_list()
-        doc_ids = pts_pdf["doc_id"].to_numpy()
-        # FILTER: one STRtree probe with the point batch's bbox prunes the
-        # cell's polygons to candidates; REFINE: per candidate polygon,
-        # bbox mask + ray cast VECTORIZED over all points — the Python loop
-        # count is O(candidate polygons), never O(points)
-        cand_polys = tree.query_box(xs.min(), ys.min(), xs.max(), ys.max())
-        for j in cand_polys:
-            b = boxes[j]
-            mask = (xs >= b[0]) & (xs <= b[2]) & (ys >= b[1]) & (ys <= b[3])
-            if not mask.any():
-                continue
-            ia = np.nonzero(mask)[0]
-            inside = _st.points_in_wkb(xs[ia], ys[ia], wkbs[int(j)])
-            hit = ia[inside]
-            if len(hit):
-                out_doc.extend(doc_ids[hit].tolist())
-                out_feat.extend([int(feats[j])] * len(hit))
-                out_cls.extend([classes[int(j)]] * len(hit))
-        return pd.DataFrame(
-            {"doc_id": out_doc, "feature_id": out_feat, "class": out_cls}
-        )
-
     out = (
         pc.groupBy("cell", "salt")
         .cogroup(lc.groupBy("cell", "salt"))
-        .applyInPandas(_probe, "doc_id long, feature_id long, class string")
+        .applyInPandas(
+            # applyInPandas validates arity — strictly (left, right)
+            lambda pts, polys: pip_probe_pandas(pts, polys),
+            "doc_id long, feature_id long, class string",
+        )
     )
     return out.distinct()
+
+
+# Points per STRtree probe in the PIP refine. Small enough that a chunk's
+# bbox (after the spatial sort) is a thin strip of the cell, large enough
+# that the per-chunk numpy overhead amortizes.
+PIP_CHUNK = 4096
+
+
+def pip_probe_pandas(
+    pts_pdf, polys_pdf, chunk: int = PIP_CHUNK, stats: dict | None = None
+):
+    """Per-(cell, salt) cogroup kernel for `point_in_polygon_join`.
+
+    FILTER: points are sorted by (lon, lat) and probed against the
+    polygon-bbox STRtree in `chunk`-point sub-batches, each with its OWN
+    bbox — after the sort a chunk covers a thin strip of the cell, so the
+    tree prunes candidates logarithmically even when the cell holds many
+    polygons. (The round-3 form probed once with the whole cell's bbox,
+    which returned nearly every polygon in the cell and degraded the
+    reference's sindex.query invariant — vector.py:36-62, O(log n)
+    candidate selection — toward linear per cell.)
+
+    REFINE: per candidate polygon, bbox mask + even-odd ray cast
+    VECTORIZED over the chunk's points — the Python loop count is
+    O(sum of per-chunk candidates), never O(points).
+
+    `stats` (tests only) accumulates {"probes": int, "candidates": int}
+    so the candidate reduction vs a whole-cell probe is assertable.
+    Output row order is chunk-major (callers `.distinct()` downstream).
+    """
+    import numpy as np
+    import pandas as pd
+
+    if len(pts_pdf) == 0 or len(polys_pdf) == 0:
+        return pd.DataFrame({"doc_id": [], "feature_id": [], "class": []}).astype(
+            {"doc_id": "int64", "feature_id": "int64", "class": "object"}
+        )
+    from geotiff_tiler_spark.operators import strtree as _st
+
+    boxes = polys_pdf[["xmin", "ymin", "xmax", "ymax"]].to_numpy(dtype=np.float64)
+    tree = _st.STRtree(boxes)
+    xs = pts_pdf["lon"].to_numpy(dtype=np.float64)
+    ys = pts_pdf["lat"].to_numpy(dtype=np.float64)
+    out_doc, out_feat, out_cls = [], [], []
+    wkbs = polys_pdf["wkb"].to_list()
+    feats = polys_pdf["feature_id"].to_numpy()
+    classes = polys_pdf["class"].to_list()
+    doc_ids = pts_pdf["doc_id"].to_numpy()
+    order = np.lexsort((ys, xs))
+    for s in range(0, len(order), chunk):
+        sel = order[s : s + chunk]
+        cxs, cys, cdocs = xs[sel], ys[sel], doc_ids[sel]
+        cand_polys = tree.query_box(cxs.min(), cys.min(), cxs.max(), cys.max())
+        if stats is not None:
+            stats["probes"] = stats.get("probes", 0) + 1
+            stats["candidates"] = stats.get("candidates", 0) + len(cand_polys)
+        for j in cand_polys:
+            b = boxes[j]
+            mask = (cxs >= b[0]) & (cxs <= b[2]) & (cys >= b[1]) & (cys <= b[3])
+            if not mask.any():
+                continue
+            ia = np.nonzero(mask)[0]
+            inside = _st.points_in_wkb(cxs[ia], cys[ia], wkbs[int(j)])
+            hit = ia[inside]
+            if len(hit):
+                out_doc.extend(cdocs[hit].tolist())
+                out_feat.extend([int(feats[j])] * len(hit))
+                out_cls.extend([classes[int(j)]] * len(hit))
+    return pd.DataFrame({"doc_id": out_doc, "feature_id": out_feat, "class": out_cls})
