@@ -163,10 +163,13 @@ class Manifest:
         shards = self.read("shards")
 
         patch_total = patches.select("image_id", "tile_x", "tile_y").distinct().count()
-        img = images.groupBy("image_id").agg(F.max("commit_id").alias("commit_id"))
-        latest = images.join(img, ["image_id", "commit_id"])
+        # per-image `kept` rows are PER-COMMIT INCREMENTS (a killed run
+        # commits some of an image's tiles, the resume commits the rest,
+        # each with its own status row) — sum across all completed rows,
+        # not just each image's latest commit, or resumed images
+        # under-count (caught by the flagship lifecycle test)
         image_kept = (
-            latest.filter(F.col("status") == "completed")
+            images.filter(F.col("status") == "completed")
             .agg(F.sum("kept"))
             .collect()[0][0]
             or 0

@@ -119,7 +119,10 @@ def create_tiles(
     writer.parquet(os.path.join(out_dir, "tiles"))
     commit_id = manifest.append("patches", pending)
 
-    # per-image status rows (completed only when not truncated by the kill)
+    # per-image status rows: `kept` is THIS COMMIT's increment for the
+    # image (a resumed image gets one row per contributing run; A9 sums
+    # completed increments, the resume anti-join guarantees no tile is
+    # counted twice)
     per_img = pending.groupBy("image_id").agg(F.count(F.lit(1)).alias("kept"))
     status = per_img.select(
         "image_id",

@@ -112,3 +112,21 @@ def test_drift_controller_between_runs(spark, docs, tmp_path_factory):
     assert abs(mf.get_adjusted_val_ratio({"trn": 0.9, "val": 0.1}) - 0.25) < 1e-12
     assert mf.get_adjusted_val_ratio({"trn": 0.81, "val": 0.19}) == 0.2
     assert mf.get_adjusted_val_ratio({"trn": 0.7, "val": 0.3}, default_ratio=0.12) == 0.1
+
+
+def test_flagship_lifecycle_end_to_end(spark, docs, tmp_path_factory):
+    """VERDICT r3 item 5: the full §3.1 chain as ONE run — create_tiles
+    (killed) -> resume -> no-op re-run -> A9 consistency -> WebDataset
+    export -> registry/read-back cross-checks. All four independent
+    counters must agree and resume must recompute zero tiles (asserted
+    inside run_lifecycle)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from flagship_lifecycle import run_lifecycle
+
+    base = str(tmp_path_factory.mktemp("lifecycle"))
+    counters = run_lifecycle(spark, docs, base, kill_after=7)
+    assert counters["kept_run1"] == 7
+    assert counters["patch_total"] > 7  # the chain processed real work
+    assert counters["wds_shards"] >= 2  # split partitioning produced shards
