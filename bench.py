@@ -167,6 +167,12 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
         extra_conf={"spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")},
     )
     scale = run_scale_workload(spark, scale_pages)
+    # >64-list IVF branch (broadcast-numpy Arrow UDFs): measured, not just
+    # parity-tested (round-3 VERDICT task 6). 1M rows -> nlist=4000 >> 64.
+    from geotiff_tiler_spark.plans.scale_job import run_ivf_stage
+
+    ivf_rows = int(os.environ.get("SPARK_GRAFT_IVF_ROWS", "1000000"))
+    ivf = run_ivf_stage(spark, ivf_rows) if ivf_rows > 0 else None
     spark.stop()
     out_rows = sum(rows.values())
     return {
@@ -180,6 +186,7 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
         "output_rows": out_rows,
         "throughput_rows_per_sec": round(out_rows / total, 1) if total > 0 else None,
         "scale_workload": scale,
+        "ivf": ivf,
         "tiles_join_rows_per_sec": scale["tiles_join_rows_per_sec"],
         "lsh_blocking": lsh_blocking,
         "scaling": _last_scaling(),

@@ -451,21 +451,92 @@ def adaptive_ivf_clusters(n: int, lo: int = 8, hi: int = 4096) -> int:
     return min(hi, max(lo, int(4 * math.sqrt(max(n, 1)))))
 
 
-def _chunked_d2(X, cent, chunk: int = 256):
-    """(len(X), len(cent)) squared distances via the expanded-difference
-    form, computed in bounded row chunks: identical arithmetic (and
-    therefore bit-identical results) to the one-shot broadcast tensor,
-    but peak memory is chunk*nlist*dim doubles (~0.5 GB at the 4096-list
-    adaptive maximum) instead of sample*nlist*dim (~8.6 GB) — round-2
-    VERDICT 'What's wrong #2'."""
+def _chunked_d2(X, cent, chunk: int = 4096):
+    """(len(X), len(cent)) squared distances via the matmul identity
+    |x|^2 + |c|^2 - 2 x.c, in bounded row chunks.
+
+    The round-2/3 form used the expanded-difference broadcast tensor
+    ((x - c)^2 summed), which is memory-bound: chunk*nlist*dim float64
+    temporaries make the >64-list path ~10x slower than BLAS (measured:
+    the 200k-row IVF bench stage took 382 s; the matmul form is
+    compute-bound at ~2 flops/element). Peak memory is chunk*nlist
+    doubles for the output block plus the (nlist, dim) centroid matrix.
+
+    Numerics: d2 values differ from the expanded form in the last ulps
+    (different summation trees), so this kernel is for ARGMIN/ARGSORT
+    selection only — ties between bit-distinct centroids are measure-zero,
+    and bit-IDENTICAL centroids (kmeans re-seeded duplicates) still
+    produce bit-equal d2 in both forms, so first-minimal-index tie
+    resolution is unchanged. Cross-engine q36 parity is unaffected: the
+    centroids come from the SHARED kmeans_fit (both engines see the same
+    literals) and the contract-checked assignment path (<=64 lists) is
+    the sequential-fold expression plan, not this kernel."""
     import numpy as np
 
-    out = np.empty((len(X), len(cent)), dtype=np.float64)
-    for s in range(0, len(X), chunk):
-        out[s : s + chunk] = ((X[s : s + chunk, None, :] - cent[None, :, :]) ** 2).sum(
-            axis=2
+    Xq = np.ascontiguousarray(X, dtype=np.float64)
+    C = np.ascontiguousarray(cent, dtype=np.float64)
+    c2 = (C * C).sum(axis=1)
+    out = np.empty((len(Xq), len(C)), dtype=np.float64)
+    for s in range(0, len(Xq), chunk):
+        B = Xq[s : s + chunk]
+        out[s : s + chunk] = (
+            (B * B).sum(axis=1)[:, None] + c2[None, :] - 2.0 * (B @ C.T)
         )
     return out
+
+
+def _nearest_centroids(X, cent, p: int = 1, chunk: int = 1024):
+    """(len(X), p) indices of the p nearest centroids per row, ordered by
+    (d2 asc, centroid id asc) — the selection form of `_chunked_d2` for the
+    >64-list Arrow-UDF hot path.
+
+    Never materializes the full (n, nlist) distance matrix: one
+    (chunk, nlist) scratch block is allocated ONCE and reused in-place
+    across chunks (matmul with out=, then in-place scale/add). This
+    matters twice at scale: peak memory is chunk*nlist instead of
+    n*nlist, and — measured on this box — fresh large allocations
+    first-touch at ~70 MB/s while reused pages stream at GB/s, making
+    the reuse ~5x faster even before the memory saving.
+
+    Selection: p == 1 is a plain argmin (first-minimal-index ties — the
+    ivf_assign rule). For p > 1, small list counts (<= IVF_EXPR_MAX_LISTS,
+    the regime the expression-path parity tests compare against) use a
+    full stable argsort; larger counts use argpartition + a (d2, id)
+    lexsort of the selected p — same order for all bit-distinct
+    distances, with arbitrary selection only among bit-EQUAL distances
+    straddling the partition boundary (duplicated centroids)."""
+    import numpy as np
+
+    Xq = np.ascontiguousarray(X, dtype=np.float64)
+    C = np.ascontiguousarray(cent, dtype=np.float64)
+    Ct = np.ascontiguousarray(C.T)
+    nlist = len(C)
+    p = min(p, nlist)
+    c2 = (C * C).sum(axis=1)
+    buf = np.empty((min(chunk, len(Xq)), nlist), dtype=np.float64)
+    idx = np.empty((len(Xq), p), dtype=np.int64)
+    for s in range(0, len(Xq), chunk):
+        B = Xq[s : s + chunk]
+        blk = buf[: len(B)]
+        np.matmul(B, Ct, out=blk)
+        blk *= -2.0
+        blk += (B * B).sum(axis=1)[:, None]
+        blk += c2[None, :]
+        if p == 1:
+            idx[s : s + len(B), 0] = blk.argmin(axis=1)
+        elif nlist <= IVF_EXPR_MAX_LISTS or p >= nlist:
+            idx[s : s + len(B)] = np.argsort(blk, axis=1, kind="stable")[:, :p]
+        else:
+            pi = np.argpartition(blk, p - 1, axis=1)[:, :p]
+            vals = np.take_along_axis(blk, pi, axis=1)
+            # order the selected p by (d2, id): argsort rows of a struct-ish
+            # key via two stable passes (id first, then d2)
+            o1 = np.argsort(pi, axis=1, kind="stable")
+            vals = np.take_along_axis(vals, o1, axis=1)
+            pi = np.take_along_axis(pi, o1, axis=1)
+            o2 = np.argsort(vals, axis=1, kind="stable")
+            idx[s : s + len(B)] = np.take_along_axis(pi, o2, axis=1)
+    return idx
 
 
 def kmeans_fit(X, n_clusters: int, n_iter: int = 10, seed: int = 42):
@@ -528,7 +599,7 @@ def _centroid_argmin_udf(centroids):
         if len(vecs) == 0:  # zero-row Arrow batch: np.stack would raise
             return pd.Series([], dtype=np.int64)
         X = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
-        return pd.Series(_chunked_d2(X, C).argmin(axis=1).astype(np.int64))
+        return pd.Series(_nearest_centroids(X, C, p=1)[:, 0])
 
     return pandas_udf(_assign, "bigint")
 
@@ -575,9 +646,7 @@ def _centroid_probes_udf(centroids, nprobe: int):
         if len(vecs) == 0:  # zero-row Arrow batch: np.stack would raise
             return pd.Series([], dtype=object)
         X = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
-        d2 = _chunked_d2(X, C)
-        idx = np.argsort(d2, axis=1, kind="stable")[:, :p].astype(np.int64)
-        return pd.Series(list(idx))
+        return pd.Series(list(_nearest_centroids(X, C, p=p)))
 
     return pandas_udf(_probes, "array<bigint>")
 
@@ -591,19 +660,22 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n: int | None = None,
+    centroids=None,
 ):
     """IVF ANN: assign every vector to its nearest centroid; probe only the
     query's `nprobe` nearest clusters (equi-join on cluster id); exact
     cosine within the probed lists. Recall < 1 by construction — measured
     against `cosine_topk` in tests. `n_clusters=None` scales the list
     count with the table size (adaptive_ivf_clusters); pass `n` when known
-    to skip the sizing count()."""
+    to skip the sizing count(), and `centroids` when already trained (an
+    index is trained once and queried many times)."""
     import numpy as np
     from pyspark.sql.window import Window
 
     if n_clusters is None:
         n_clusters = adaptive_ivf_clusters(n if n is not None else emb.count())
-    centroids = train_ivf_centroids(emb, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col)
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col)
     assigned = ivf_assign(emb, centroids, vec_col)
     c = assigned.select(
         F.col(id_col).alias("neighbor_id"),

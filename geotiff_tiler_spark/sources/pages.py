@@ -87,6 +87,36 @@ def synth_pages(spark: SparkSession, n: int, min_tokens: int = 24, var_tokens: i
     )
 
 
+def synth_malformed_pages(spark: SparkSession, n_valid: int, n_bad: int) -> DataFrame:
+    """`n_bad` deterministic INVALID pages appended after the valid id
+    range (doc_id in [n_valid, n_valid + n_bad)), cycling the three S7
+    failure modes — empty text, unknown lang, timestamp out of range — so
+    the quarantine path runs under load without disturbing the valid
+    rows' ids or contents (scale-workload parity keys stay comparable).
+    """
+    df = spark.range(n_valid, n_valid + n_bad).withColumnRenamed("id", "doc_id")
+    mode = F.pmod(F.col("doc_id"), F.lit(3))
+    text = F.when(mode == 0, F.lit("")).otherwise(
+        F.concat(F.lit("malformed page "), F.col("doc_id").cast("string"))
+    )
+    lang = F.when(mode == 1, F.lit("xx")).otherwise(F.lit("en"))
+    warc_ts = F.when(
+        mode == 2, F.lit("1970-01-02 00:00:00").cast("timestamp")
+    ).otherwise(F.timestamp_seconds(F.lit(BASE_EPOCH)))
+    html = F.concat(
+        F.lit("<html><body><p>"), text, F.lit("</p></body></html>")
+    ).cast("binary")
+    url = F.concat(F.lit("https://bad.example.com/p/"), F.col("doc_id").cast("string"))
+    return df.select(
+        "doc_id",
+        url.alias("url"),
+        warc_ts.alias("warc_ts"),
+        html.alias("html"),
+        text.alias("text"),
+        lang.alias("lang"),
+    )
+
+
 def extract_text(html_col) -> "F.Column":
     """Byte-stable text extraction from the html binary column.
 

@@ -26,13 +26,22 @@ from geotiff_tiler_spark.operators.tiling import TilingParams
 from geotiff_tiler_spark.plans.manifest import Manifest
 
 
-def read_pages_stream(spark, path: str) -> DataFrame:
-    """File-source stream of the pages shape (new files appear -> new rows)."""
+def read_pages_stream(
+    spark, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of the pages shape (new files appear -> new rows).
+
+    `max_files_per_trigger` bounds each micro-batch (backpressure for the
+    catch-up scan over a large landing dir; also what the kill/restart
+    test uses to force a multi-batch run)."""
     schema = (
         "doc_id long, url string, warc_ts timestamp, html binary, "
         "text string, lang string"
     )
-    return spark.readStream.schema(schema).parquet(path)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
 
 
 def windowed_cell_counts(

@@ -109,13 +109,26 @@ def test_ivf_topk_udf_path_matches_expression_path(spark, monkeypatch):
     assert got == want
 
 
-def test_chunked_d2_bit_identical():
+def test_chunked_d2_matmul_kernel():
+    """The matmul-identity kernel is for argmin/argsort selection: it must
+    be (a) bit-stable across chunk sizes, (b) numerically equal to the
+    expanded-difference form, and (c) argmin-identical to it — including
+    first-minimal-index ties on bit-identical (duplicated) centroids."""
     rng = np.random.default_rng(7)
     X = rng.normal(size=(700, 64))
     C = rng.normal(size=(33, 64))
-    want = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    expanded = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     got = similarity._chunked_d2(X, C, chunk=256)
-    assert (got == want).all()  # bitwise, not allclose
+    # chunk boundaries must not change a single bit (per-row arithmetic)
+    assert (got == similarity._chunked_d2(X, C, chunk=10**9)).all()
+    assert np.allclose(got, expanded, rtol=1e-9, atol=1e-9)
+    assert (got.argmin(axis=1) == expanded.argmin(axis=1)).all()
+    # duplicated centroid -> bit-equal d2 columns -> first index wins,
+    # same as the expanded form
+    Cdup = np.vstack([C, C[:1]])
+    gd = similarity._chunked_d2(X, Cdup)
+    assert (gd[:, 0] == gd[:, -1]).all()
+    assert (gd.argmin(axis=1) == ((X[:, None, :] - Cdup[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)).all()
 
 
 def test_kmeans_fit_unchanged_by_chunking():
@@ -162,3 +175,18 @@ def test_label_polygon_edges_match_wkb_roundtrip():
                 for a, b in zip(r[:-1], r[1:]):
                     want.add((pi, float(a[0]), float(a[1]), float(b[0]), float(b[1])))
         assert by_fid[fid] == want, fid
+
+
+def test_nearest_centroids_matches_argsort_oracle():
+    """The selection kernel must agree with a naive full-argsort oracle on
+    both regimes (<=64 lists: stable argsort; >64: argpartition+lexsort),
+    for p=1 and p>1."""
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(333, 16))
+    for nlist in (8, 200):
+        C = rng.normal(size=(nlist, 16))
+        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        for p in (1, 3):
+            want = np.argsort(d2, axis=1, kind="stable")[:, :p]
+            got = similarity._nearest_centroids(X, C, p=p, chunk=100)
+            assert (got == want).all(), (nlist, p)

@@ -160,3 +160,63 @@ def test_streaming_exact_dedup(spark, tmp_path_factory):
     # one row per digest, and schema passes through unchanged
     assert got.select(F.md5("text")).distinct().count() == n_distinct
     assert set(got.columns) == set(spark.read.parquet(src).columns)
+
+
+def test_streaming_kill_restart_exactly_once(spark, tmp_path_factory):
+    """VERDICT r3 item 7: kill a foreachBatch run MID-STREAM (crash
+    injected after the first micro-batch has fully committed tiles +
+    manifest) and restart from the same checkpoint. Structured Streaming
+    replays the crashed batch; the manifest anti-join must make the
+    replay a no-op, so the final sink has zero duplicate tiles and
+    exactly the rows a single batch run produces."""
+    base = str(tmp_path_factory.mktemp("stream_kill"))
+    src = f"{base}/src"
+    # 3 source files -> 3 micro-batches at maxFilesPerTrigger=1
+    pages.synth_pages(spark, 300).repartition(3).write.parquet(src)
+    out_dir, mf_dir, ckpt = f"{base}/out", f"{base}/mf", f"{base}/ckpt"
+    fn = ingest.foreach_batch_tiler(P, out_dir, mf_dir)
+
+    def crashing(df, batch_id):
+        fn(df, batch_id)  # full commit, THEN the crash
+        if batch_id == 0:
+            raise RuntimeError("injected mid-stream kill")
+
+    q = (
+        ingest.read_pages_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(crashing)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected mid-stream kill"):
+        q.awaitTermination()
+
+    m = Manifest(spark, mf_dir)
+    n_before = m.completed_patches().count()
+    assert n_before > 0  # batch 0 really committed before the kill
+
+    # restart from the SAME checkpoint with the normal (non-crashing) fn:
+    # batch 0 is replayed (its commit log entry was never written), the
+    # anti-join skips its already-committed tiles, batches 1-2 proceed
+    q2 = (
+        ingest.read_pages_stream(spark, src, max_files_per_trigger=1)
+        .writeStream.foreachBatch(fn)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q2.awaitTermination(300)
+
+    tiles = spark.read.parquet(f"{out_dir}/tiles")
+    n_final = m.completed_patches().count()
+    assert tiles.count() == n_final  # sink rows == distinct manifest patches
+    key = lambda df: sorted(
+        (r.image_id, r.tile_x, r.tile_y) for r in df.collect()
+    )
+    assert key(tiles) == key(m.completed_patches())  # no dup tile anywhere
+
+    # final state identical to one uninterrupted batch pass over the data
+    ref_out, ref_mf = f"{base}/ref_out", f"{base}/ref_mf"
+    ingest.foreach_batch_tiler(P, ref_out, ref_mf)(spark.read.parquet(src), 0)
+    ref_tiles = spark.read.parquet(f"{ref_out}/tiles")
+    assert key(tiles) == key(ref_tiles)
