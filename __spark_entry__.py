@@ -712,6 +712,69 @@ def q40_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.decontamination_hits(_docs(spark, sf_dir), eval_mod=50)
 
 
+def q41_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-doc repetition scoring (Gopher/RefinedWeb-style boilerplate
+    gate; LLM-pipeline op): most-frequent-token count via ONE aggregate()
+    fold over the sorted token array — a pure map, no shuffle, no
+    per-distinct-token re-tokenization. The DuckDB oracle computes the
+    same max-multiplicity RELATIONALLY (unnest -> count -> max), so the
+    two formulations verify each other."""
+    rep = T.repetition_metrics(_docs(spark, sf_dir))
+    return rep.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_cnt",
+        F.round("dup_frac", 9).alias("dup_frac"),
+        F.round("top_frac", 9).alias("top_frac"),
+        "rep_flag",
+    )
+
+
+def q42_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate detection: top-10 bigrams per language by count
+    (ties -> bigram asc). Explode of the shared 2-gram shingles into a
+    partial+final hash agg (map-side combined), then a per-lang top-k
+    window over the (small) per-bigram aggregate — the aggregate, not the
+    corpus, flows into the window. 100-TB shape: vocabulary/boilerplate
+    mining."""
+    from pyspark.sql.window import Window
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "lang", F.explode(T.shingles("text", 2)).alias("bigram")
+    )
+    cnt = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    return (
+        cnt.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 10)
+        .select("lang", "rank", "bigram", "n")
+    )
+
+
+def q43_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate rate by provenance (curation op): join each doc to its
+    exact-dedup group size and aggregate per source — which feeds/domains
+    contribute duplicated content. One digest groupBy + one digest
+    equi-join + a per-source agg; all keys are the 16-byte binary md5."""
+    docs = _docs(spark, sf_dir)
+    groups = dedup.exact_dedup_groups(docs).select(
+        F.unhex(F.col("text_md5")).alias("_k"), "dup_cnt"
+    )
+    keyed = docs.select("source", F.unhex(F.md5(F.col("text"))).alias("_k"))
+    joined = keyed.join(groups, "_k")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("dup_cnt") > 1, 1).otherwise(0)).alias("dup_docs"),
+        F.round(
+            F.sum(F.when(F.col("dup_cnt") > 1, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("dup_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -775,6 +838,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q38_cell_rollup": q38_cell_rollup,
         "q39_pip_polygons": q39_pip_polygons,
         "q40_decontamination": q40_decontamination,
+        "q41_repetition": q41_repetition,
+        "q42_top_bigrams": q42_top_bigrams,
+        "q43_source_dup_rates": q43_source_dup_rates,
     }
 
 
@@ -1538,4 +1604,33 @@ SELECT query_id, rank, neighbor_id, ROUND(dist2, 9) AS dist2 FROM ranked WHERE r
 """,
         "q39_pip_polygons": _q39_oracle(),
         "q40_decontamination": dedup.decontamination_sql(eval_mod=50),
+        "q41_repetition": f"""
+WITH {T.repetition_sql_cte()}
+SELECT doc_id, n_tokens, n_distinct, top_cnt,
+       round(dup_frac, 9) AS dup_frac, round(top_frac, 9) AS top_frac,
+       (top_frac > {T.REP_TOP_FRAC} OR dup_frac > {T.REP_DUP_FRAC})
+         AS rep_flag
+FROM rep
+""",
+        "q42_top_bigrams": f"""
+WITH grams AS (
+  SELECT lang, g.g AS bigram
+  FROM documents, unnest({T.shingles_sql('text', 2)}) AS g(g)
+),
+cnt AS (SELECT lang, bigram, COUNT(*) AS n FROM grams GROUP BY lang, bigram),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+  FROM cnt
+)
+SELECT lang, CAST(rank AS BIGINT) AS rank, bigram, n FROM ranked WHERE rank <= 10
+""",
+        "q43_source_dup_rates": """
+WITH g AS (SELECT md5(text) AS k, COUNT(*) AS dup_cnt FROM documents GROUP BY 1)
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN g.dup_cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+       round(SUM(CASE WHEN g.dup_cnt > 1 THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 9)
+         AS dup_rate
+FROM documents d JOIN g ON md5(d.text) = g.k
+GROUP BY source
+""",
     }

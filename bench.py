@@ -44,6 +44,7 @@ HEADLINE = [
     "q34_quality_filter",
     "q35_label_tile_stats",
     "q37_sessionize",
+    "q41_repetition",
 ]
 
 

@@ -204,3 +204,105 @@ def doc_fingerprint_sql(expr: str, k: int = 3, seed: int = 0) -> str:
         f"COALESCE(list_min(list_transform({sh}, "
         f"s -> ('0x' || substr(md5('{seed}:' || s), 1, {HEX_WIDTH}))::BIGINT)), 0)"
     )
+
+
+# --- repetition (Gopher-style intra-doc filters) ----------------------------
+
+# Flag thresholds (frozen contract): a doc is repetitious when its most
+# frequent token exceeds 20% of all tokens, or >30% of tokens are repeats.
+REP_TOP_FRAC = 0.2
+REP_DUP_FRAC = 0.3
+
+
+def repetition_metrics(df, text_col: str = "text"):
+    """Intra-document repetition scoring (the Gopher/RefinedWeb-style
+    boilerplate gate): per doc, the most-frequent-token count, the
+    duplicate-token fraction, and a repetition flag.
+
+    Plan shape (what matters at 100 TB): a PURE MAP — `top_cnt` is one
+    sequential aggregate() fold over the SORTED token array (max run
+    length of equal adjacent tokens == max token multiplicity), so there
+    is no per-distinct-token re-tokenization (the alias-inlining hazard
+    documented on `shingles`) and NO SHUFFLE. Fractions are int/int
+    doubles (exact IEEE division, oracle-safe).
+
+    Reference scope note: the reference has no text tier; this extends
+    the engine's LLM-pipeline operators (SURVEY §6 additions).
+    """
+    t = _c(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    srt = F.array_sort(toks)
+    zero = F.lit(0).cast("bigint")
+    one = F.lit(1).cast("bigint")
+    top_cnt = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), zero.alias("run"), zero.alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + one).otherwise(one).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + one).otherwise(one),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    dup_frac = F.when(
+        n_tok > 0, (n_tok - n_distinct).cast("double") / n_tok
+    ).otherwise(F.lit(0.0))
+    top_frac = F.when(n_tok > 0, F.col("top_cnt").cast("double") / n_tok).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_distinct", n_distinct)
+        .withColumn("top_cnt", top_cnt)
+        .withColumn("dup_frac", dup_frac)
+        .withColumn("top_frac", top_frac)
+        .withColumn(
+            "rep_flag",
+            (F.col("top_frac") > REP_TOP_FRAC) | (F.col("dup_frac") > REP_DUP_FRAC),
+        )
+    )
+
+
+def repetition_sql_cte(expr: str = "text", table: str = "documents") -> str:
+    """DuckDB twin of `repetition_metrics` as a CTE body producing
+    (doc_id, lang, n_tokens, n_distinct, top_cnt, dup_frac, top_frac,
+    rep_flag). top_cnt is computed RELATIONALLY (unnest -> per-token
+    count -> max) — an independent formulation of the same quantity the
+    Spark fold computes (max multiplicity), sharing only the tokenizer."""
+    toks = tokens_sql(expr)
+    n_tok = f"CAST(len({toks}) AS BIGINT)"
+    n_distinct = f"CAST(len(list_distinct({toks})) AS BIGINT)"
+    return f"""
+base AS (
+  SELECT doc_id, lang, {toks} AS _toks, {n_tok} AS n_tokens,
+         {n_distinct} AS n_distinct
+  FROM {table}
+),
+tokrows AS (
+  SELECT doc_id, t.t AS tok FROM base, unnest(_toks) AS t(t)
+),
+tokcnt AS (
+  SELECT doc_id, tok, COUNT(*) AS c FROM tokrows GROUP BY doc_id, tok
+),
+topc AS (
+  SELECT doc_id, MAX(c) AS top_cnt FROM tokcnt GROUP BY doc_id
+),
+rep AS (
+  SELECT b.doc_id, b.lang, b.n_tokens, b.n_distinct,
+         CAST(COALESCE(t.top_cnt, 0) AS BIGINT) AS top_cnt,
+         CASE WHEN b.n_tokens > 0
+              THEN (b.n_tokens - b.n_distinct)::DOUBLE / b.n_tokens
+              ELSE 0.0 END AS dup_frac,
+         CASE WHEN b.n_tokens > 0
+              THEN COALESCE(t.top_cnt, 0)::DOUBLE / b.n_tokens
+              ELSE 0.0 END AS top_frac
+  FROM base b LEFT JOIN topc t ON b.doc_id = t.doc_id
+)
+"""

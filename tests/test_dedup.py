@@ -117,3 +117,29 @@ def test_minhash_fold_matches_exploded_plan(spark):
     a = sorted(map(tuple, dedup.minhash_signature(docs).collect()))
     b = sorted(map(tuple, dedup._minhash_signature_exploded(docs).collect()))
     assert a == b
+
+
+def test_repetition_metrics_edge_cases(spark):
+    """top_cnt must equal max token multiplicity (fold == relational
+    definition), with empty/null/uniform docs handled."""
+    from geotiff_tiler_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b a"),       # top=a(3), n=6, distinct=3
+            (2, "x x x x"),           # uniform: top=4
+            (3, "u v w x y z"),       # all unique: top=1, top_frac 1/6
+            (4, ""),                  # empty
+            (5, None),                # null
+            (6, "  z   z  "),         # whitespace runs
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in T.repetition_metrics(df).collect()}
+    assert (rows[1].n_tokens, rows[1].n_distinct, rows[1].top_cnt) == (6, 3, 3)
+    assert rows[1].rep_flag  # top_frac 0.5 > 0.2
+    assert (rows[2].top_cnt, rows[2].rep_flag) == (4, True)
+    assert (rows[3].top_cnt, rows[3].rep_flag) == (1, False)
+    assert (rows[4].n_tokens, rows[4].top_cnt, rows[4].dup_frac) == (0, 0, 0.0)
+    assert rows[5].n_tokens in (0, None) or rows[5].top_cnt in (0, None)
+    assert (rows[6].n_tokens, rows[6].top_cnt) == (2, 2)
