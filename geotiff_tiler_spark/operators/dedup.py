@@ -228,6 +228,7 @@ def ngram_jaccard_pairs(
     pairs: DataFrame,
     text_col: str = "text",
     k: int = SHINGLE_K,
+    materialize: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard for candidate pairs (the refine stage).
 
@@ -242,7 +243,19 @@ def ngram_jaccard_pairs(
     verify that sliver — the round-3 VERDICT's one unpruned-scan
     scale-killer. The prune changes no output: only docs appearing in
     `pairs` ever reach the intersection join or the size lookups.
-    """
+
+    `materialize=True` localCheckpoints the two bounded intermediates the
+    plan consumes more than once — `pairs` (used by the id list, the
+    intersection join and the final join) and the candidate shingle rows
+    (used by both join sides and the size aggregate). Without it the
+    whole LSH subtree replicates ~5x in the physical plan (no static
+    exchange reuse across the branches) — at 100 TB that is five
+    recomputations of the banding join. Both intermediates are
+    candidate-volume-sized (pairs, and candidates x shingles), never
+    corpus-sized; pass materialize=False for a pure lazy plan (tests
+    inspect it)."""
+    if materialize:
+        pairs = pairs.localCheckpoint()
     ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -252,6 +265,8 @@ def ngram_jaccard_pairs(
     sh = cand_docs.select(
         "doc_id", F.explode(F.array_distinct(T.shingles(text_col, k))).alias("sh")
     )
+    if materialize:
+        sh = sh.localCheckpoint()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")
