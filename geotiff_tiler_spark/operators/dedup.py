@@ -255,7 +255,9 @@ def ngram_jaccard_pairs(
     corpus-sized; pass materialize=False for a pure lazy plan (tests
     inspect it)."""
     if materialize:
-        pairs = pairs.localCheckpoint()
+        # lazy: no extra job barrier — the RDD persists on first
+        # computation and the other branches read the stored partitions
+        pairs = pairs.localCheckpoint(eager=False)
     ids = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b").alias("doc_id")))
@@ -266,7 +268,7 @@ def ngram_jaccard_pairs(
         "doc_id", F.explode(F.array_distinct(T.shingles(text_col, k))).alias("sh")
     )
     if materialize:
-        sh = sh.localCheckpoint()
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.withColumnRenamed("doc_id", "doc_a")
     b = sh.withColumnRenamed("doc_id", "doc_b")

@@ -86,13 +86,14 @@ def main() -> None:
         "the reported number is therefore a lower bound on the engine's own",
         "scaling.",
         "",
-        "Samples are round-3 only (BENCH/samples_r2.jsonl archives rounds 1-2):",
-        "round 3 replaced the explode-based MinHash plan with a shuffle-free",
-        "per-row fold (bit-identical outputs, so the parity keys still match,",
-        "but timings of different code may not share a best-of estimator).",
-        "Stage sub-timers (sec_dedup_lsh / sec_dedup_exact) were also added",
-        "this round; they localized the 4N drag to the shingle explode, which",
-        "profiling showed memory-bandwidth-bound — the motivation for the fold.",
+        "Sample provenance: rounds 3 + 4 pooled (BENCH/samples_r2.jsonl",
+        "archives rounds 1-2, whose explode-based MinHash plan was different",
+        "code). The timed stages are unchanged between rounds 3 and 4 except",
+        "a null-guard coalesce in the minhash fold (no-op on this data); the",
+        "round-4 samples additionally run S7 validation + quarantine of 8,000",
+        "injected malformed rows in the UNTIMED generation phase, with all",
+        "four output parity keys unchanged — asserted across every pooled",
+        "sample above.",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")

@@ -21,19 +21,27 @@ def main() -> None:
         samples = [json.loads(l) for l in fh if l.strip()]
     samples = [s for s in samples if s.get("cpus") == 32]
     assert samples, "no local[32] headline samples"
-    rows0 = samples[0]["rows"]
-    for s in samples[1:]:
-        assert s["rows"] == rows0, ("row parity violated", s["ts"])
+    # per-query row parity: the headline set can grow between rounds, so
+    # compare each query's row count across the samples that ran it
+    rows_by_q: dict[str, set] = {}
+    for s in samples:
+        for q, n in s["rows"].items():
+            rows_by_q.setdefault(q, set()).add(n)
+    bad = {q: v for q, v in rows_by_q.items() if len(v) != 1}
+    assert not bad, ("row parity violated", bad)
+    all_q = sorted(rows_by_q)
     best_q = {
-        q: min(s["queries"][q] for s in samples if q in s["queries"])
-        for q in samples[0]["queries"]
+        q: min(s["queries"][q] for s in samples if q in s["queries"]) for q in all_q
     }
     out = {
         "n_samples": len(samples),
         "sf_dir": samples[0]["sf_dir"],
         "queries_best": best_q,
         "sum_of_best": round(sum(best_q.values()), 3),
-        "best_total": min(s["total"] for s in samples),
+        # whole-suite total only over samples that ran the FULL current set
+        "best_total": min(
+            s["total"] for s in samples if set(s["queries"]) == set(all_q)
+        ),
     }
     with open(os.path.join(REPO, "BENCH", "headline_best.json"), "w") as fh:
         json.dump(out, fh, indent=1)
