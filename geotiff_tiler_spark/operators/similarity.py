@@ -541,31 +541,50 @@ def _nearest_centroids(X, cent, p: int = 1, chunk: int = 1024):
 
 def kmeans_fit(X, n_clusters: int, n_iter: int = 10, seed: int = 42):
     """Deterministic Lloyd k-means core (pure numpy, shared with the
-    DuckDB oracle generator so both engines see bit-identical centroids)."""
+    DuckDB oracle generator so both engines see bit-identical centroids).
+
+    Assignment uses the buffer-reusing `_nearest_centroids` kernel
+    (bit-identical argmin to materializing the matmul-identity d2), and
+    the centroid update is one sequential np.add.at scatter + bincount
+    instead of a per-cluster boolean-mask loop — at the 4000-list /
+    32k-sample regime the loop form spent ~10 s/iteration on 4000 full
+    passes over the assignment array. Both engines share this function,
+    so the numerics stay in lockstep by construction."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
     cent = X[rng.choice(len(X), size=min(n_clusters, len(X)), replace=False)]
+    k = len(cent)
     for _ in range(n_iter):
-        assign = _chunked_d2(X, cent).argmin(axis=1)
-        for c in range(len(cent)):
-            members = X[assign == c]
-            if len(members):
-                cent[c] = members.mean(axis=0)
+        assign = _nearest_centroids(X, cent, p=1)[:, 0]
+        sums = np.zeros((k, X.shape[1]), dtype=np.float64)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=k)
+        nz = counts > 0
+        cent[nz] = sums[nz] / counts[nz, None]
     return cent
 
 
 def train_ivf_centroids(
-    emb, n_clusters: int = 16, n_iter: int = 10, sample: int = 4096,
+    emb, n_clusters: int = 16, n_iter: int = 10, sample: int | None = None,
     id_col: str = "vec_id", vec_col: str = "embedding", seed: int = 42,
 ):
     """Deterministic Lloyd k-means on a bounded sample (driver-side numpy).
 
     At 100 TB the sample is a fixed-size `limit` over a hash-ordered scan —
     centroid training is O(sample), never O(data). Returns (k, dim) float64.
+
+    `sample` defaults to max(4096, 8 * n_clusters) capped at 32768: one
+    training point per centroid (the old fixed 4096 at the 4000-list
+    adaptive maximum) leaves near-duplicate centroids and heavily skewed
+    list sizes — measured at 1M rows: max list 14682 -> 1121 and probe
+    candidates 3.6M -> 1.0M when the 4000-list index trains on 32k
+    points instead of 4k. Driver memory stays bounded (<= 32k rows).
     """
     import numpy as np
 
+    if sample is None:
+        sample = min(max(4096, 8 * n_clusters), 32768)
     rows = (
         emb.select(id_col, vec_col)
         .orderBy(id_col)  # deterministic sample
