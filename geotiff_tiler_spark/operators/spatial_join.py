@@ -96,6 +96,12 @@ def point_in_box_join(points: DataFrame, labels: DataFrame, res: int) -> DataFra
     points: (doc_id, lon, lat, ...); labels: label_boxes schema.
     Inclusive on min edges, exclusive on max edges (half-open, so a point
     on a shared boundary lands in exactly one box of a partition).
+
+    No dedup needed — and none run: a POINT has exactly one cell, so a
+    (point, box) pair meets in at most one cell row even when the box
+    spans many cells (the distinct() the box-box join needs would be a
+    full output-sized shuffle here; dropping it made the 8M-page scale
+    workload's join stage shuffle-free, it was the stage's whole cost).
     """
     pc = points.withColumn("cell", geo.cell_id("lon", "lat", res))
     lc = boxes_to_cells(labels, res)
@@ -106,7 +112,7 @@ def point_in_box_join(points: DataFrame, labels: DataFrame, res: int) -> DataFra
         & (F.col("lat") >= F.col("ymin"))
         & (F.col("lat") < F.col("ymax"))
     )
-    return cand.filter(hit).select("doc_id", "feature_id", "class").distinct()
+    return cand.filter(hit).select("doc_id", "feature_id", "class")
 
 
 def choose_res(
@@ -174,7 +180,8 @@ def point_in_polygon_join(
     batch and the full polygon set (output unchanged; verified by
     test_spatial's hot-cell test). The salt map is a per-cell aggregate,
     broadcast — never a data-sized structure.
-    Output: (doc_id, feature_id, class) distinct.
+    Output: (doc_id, feature_id, class), duplicate-free by construction
+    (one (cell, salt) row per point; no dedup shuffle).
     """
     import pandas as pd
 
@@ -222,7 +229,11 @@ def point_in_polygon_join(
         .drop("_nsalt")
     )
 
-    out = (
+    # no distinct: a point has ONE (cell, salt) row, each polygon appears
+    # once per (cell, salt) shard, and the probe kernel emits a (point,
+    # feature) hit at most once — so the output is duplicate-free by
+    # construction and the output-sized dedup shuffle is unnecessary
+    return (
         pc.groupBy("cell", "salt")
         .cogroup(lc.groupBy("cell", "salt"))
         .applyInPandas(
@@ -231,7 +242,6 @@ def point_in_polygon_join(
             "doc_id long, feature_id long, class string",
         )
     )
-    return out.distinct()
 
 
 # Points per STRtree probe in the PIP refine. Small enough that a chunk's

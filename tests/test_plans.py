@@ -121,3 +121,20 @@ def test_jaccard_refine_semi_join_prunes_before_explode(spark):
     gen_idx = plan.find("Generate explode")
     semi_idx = plan.find("LeftSemi")
     assert gen_idx != -1 and semi_idx != -1 and semi_idx > gen_idx
+
+
+def test_point_in_box_join_has_no_dedup_shuffle(spark):
+    """Round-4: a (point, box) pair meets in at most one cell row, so the
+    join output needs no distinct — the plan must contain NO aggregate
+    above the join (the old output-sized dedup shuffle held the scale
+    workload's join stage to 1.26x scaling at 8->32 cores)."""
+    from geotiff_tiler_spark.operators.spatial_join import point_in_box_join
+    from geotiff_tiler_spark.sources.labels import label_boxes
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pts = doc_points(docs, TilingParams()).select("doc_id", "lon", "lat")
+    sup = spark.range(50).withColumnRenamed("id", "s_suppkey")
+    hits = point_in_box_join(pts, label_boxes(sup), res=4)
+    plan = _optimized(hits)
+    assert "Join" in plan
+    assert "Aggregate" not in plan and "Deduplicate" not in plan

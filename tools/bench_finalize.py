@@ -86,14 +86,15 @@ def main() -> None:
         "the reported number is therefore a lower bound on the engine's own",
         "scaling.",
         "",
-        "Sample provenance: rounds 3 + 4 pooled (BENCH/samples_r2.jsonl",
-        "archives rounds 1-2, whose explode-based MinHash plan was different",
-        "code). The timed stages are unchanged between rounds 3 and 4 except",
-        "a null-guard coalesce in the minhash fold (no-op on this data); the",
-        "round-4 samples additionally run S7 validation + quarantine of 8,000",
-        "injected malformed rows in the UNTIMED generation phase, with all",
-        "four output parity keys unchanged — asserted across every pooled",
-        "sample above.",
+        "Sample provenance: round-4-final code only (samples_r2.jsonl /",
+        "samples_r3.jsonl archive earlier rounds, whose join plan was",
+        "different code: round 4 removed the point-in-box join's output",
+        "distinct() — a no-op dedup, since a point meets a box in at most",
+        "one cell row, that cost a full output-sized shuffle and held the",
+        "join stage's 8->32-core scaling to 1.26x). Round-4 samples also",
+        "run S7 validation + quarantine of 8,000 injected malformed rows in",
+        "the UNTIMED generation phase. All four output parity keys are",
+        "unchanged from rounds 2-3 and asserted across every sample above.",
     ]
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
