@@ -1048,9 +1048,14 @@ def _q17_oracle() -> str:
     same cosine + top-k. Self-asserts the view count matches `n`."""
     n = _emb_n(_oracle_sf_dir())
     bits = similarity.adaptive_sign_bits(n)
-    bands = similarity.band_buckets_union_sql("vec_id", "embedding", "embeddings", bits)
+    bands = similarity.band_buckets_union_sql("vec_id", "embedding", "base", bits)
+    # guard lives on the BASE scan: it fires on every embeddings row, so a
+    # mismatched view errors even when the final candidate set is empty
     return f"""
-WITH b AS (
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {_bits_guard_sql(n)}
+),
+b AS (
 {bands}
 ),
 cand AS (
@@ -1058,8 +1063,8 @@ cand AS (
   FROM b l JOIN b r ON l.band = r.band AND l.bucket = r.bucket
   WHERE l.id % 25 = 0 AND l.id <> r.id
 ),
-q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0),
-c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM base WHERE vec_id % 25 = 0),
+c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM base),
 scored AS (
   SELECT cand.query_id, cand.neighbor_id,
          {similarity.cosine_sql("q_vec", "c_vec")} AS cosine
@@ -1071,7 +1076,7 @@ ranked AS (
   FROM scored
 )
 SELECT query_id, rank, neighbor_id, cosine FROM ranked
-WHERE rank <= 5 AND {_bits_guard_sql(n)}
+WHERE rank <= 5
 """
 
 
@@ -1084,11 +1089,16 @@ def _q33_oracle() -> str:
     n = _emb_n(_oracle_sf_dir())
     bits = similarity.adaptive_sign_bits(n)
     bands = similarity.band_buckets_union_sql(
-        "vec_id", "embedding", "embeddings", bits, bands=similarity.NEARDUP_BANDS
+        "vec_id", "embedding", "base", bits, bands=similarity.NEARDUP_BANDS
     )
     cos = similarity.cosine_sql("va", "vb")
+    # guard on the base scan (see _q17_oracle): fires independent of the
+    # candidate-pair cardinality
     return f"""
-WITH b AS (
+WITH base AS (
+  SELECT vec_id, embedding FROM embeddings WHERE {_bits_guard_sql(n)}
+),
+b AS (
 {bands}
 ),
 pairs AS (
@@ -1099,12 +1109,12 @@ pairs AS (
 v AS (
   SELECT p.id_a, p.id_b, ea.embedding AS va, eb.embedding AS vb
   FROM pairs p
-  JOIN embeddings ea ON ea.vec_id = p.id_a
-  JOIN embeddings eb ON eb.vec_id = p.id_b
+  JOIN base ea ON ea.vec_id = p.id_a
+  JOIN base eb ON eb.vec_id = p.id_b
 )
 SELECT id_a, id_b, {cos} AS cosine
 FROM v
-WHERE {cos} >= 0.5 AND {_bits_guard_sql(n)}
+WHERE {cos} >= 0.5
 """
 
 
@@ -1277,7 +1287,7 @@ FROM groups GROUP BY dup_cnt
         "q12_simhash": r"""
 SELECT doc_id,
        CAST(CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 64) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 64 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 128) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 128 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 256) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 256 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 512) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 512 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1024) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1024 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2048) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2048 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4096) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4096 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8192) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8192 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16384) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16384 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32768) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32768 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 65536) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 65536 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 131072) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 131072 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 262144) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 262144 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 524288) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 524288 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1048576) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1048576 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2097152) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2097152 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4194304) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4194304 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8388608) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8388608 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16777216) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16777216 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 33554432) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 33554432 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 67108864) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 67108864 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 134217728) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 134217728 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 268435456) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 268435456 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 536870912) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 536870912 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1073741824) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1073741824 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2147483648) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2147483648 ELSE 0 END AS BIGINT) AS simhash,
-       CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+       COALESCE(CAST(len(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')) AS BIGINT), 0) AS n_tokens
 FROM documents
 """,
         "q13_langid": r"""

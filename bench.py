@@ -22,7 +22,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from geotiff_tiler_spark.session import get_spark  # noqa: E402
+from geotiff_tiler_spark.session import clear_persistent_rdds, get_spark  # noqa: E402
 
 # queries included in the headline benchmark (name -> included in bench)
 HEADLINE = [
@@ -96,6 +96,9 @@ def run_headline(spark, sf_dir: str, runs: int = 1):
             n = df.count()
         timings[name] = round((time.time() - t0) / runs, 3)
         rows[name] = n
+        # q11 et al. localCheckpoint bounded intermediates; release their
+        # storage so the suite's later queries run in a clean session
+        clear_persistent_rdds(spark)
     total = round(time.time() - total_t0, 3)
     return timings, rows, total
 

@@ -253,7 +253,14 @@ def ngram_jaccard_pairs(
     recomputations of the banding join. Both intermediates are
     candidate-volume-sized (pairs, and candidates x shingles), never
     corpus-sized; pass materialize=False for a pure lazy plan (tests
-    inspect it)."""
+    inspect it).
+
+    Storage lifetime: localCheckpoint partitions persist until the
+    context dies. Long-lived sessions that call this in a loop (bench
+    sampling, contract runs) should call
+    session.clear_persistent_rdds(spark) between invocations, AFTER the
+    returned DataFrame is fully materialized (checkpoint lineage is
+    truncated — not recomputable once unpersisted)."""
     if materialize:
         # lazy: no extra job barrier — the RDD persists on first
         # computation and the other branches read the stored partitions

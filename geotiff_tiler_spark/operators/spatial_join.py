@@ -102,6 +102,14 @@ def point_in_box_join(points: DataFrame, labels: DataFrame, res: int) -> DataFra
     spans many cells (the distinct() the box-box join needs would be a
     full output-sized shuffle here; dropping it made the 8M-page scale
     workload's join stage shuffle-free, it was the stage's whole cost).
+
+    INPUT INVARIANT (guarded by test_spatial.test_label_boxes_unique and
+    the labels-source contract in sources/labels.py): `labels` carries
+    one row per feature_id and boxes_to_cells emits each (feature, cell)
+    once; `points` carries one (lon, lat) per doc_id. A labels source
+    that duplicates feature rows would duplicate output pairs here — the
+    uniqueness test fails loudly instead of this join silently diverging
+    from its DISTINCT-based oracle.
     """
     pc = points.withColumn("cell", geo.cell_id("lon", "lat", res))
     lc = boxes_to_cells(labels, res)
@@ -270,7 +278,8 @@ def pip_probe_pandas(
 
     `stats` (tests only) accumulates {"probes": int, "candidates": int}
     so the candidate reduction vs a whole-cell probe is assertable.
-    Output row order is chunk-major (callers `.distinct()` downstream).
+    Output row order is chunk-major; rows are already unique (a point
+    meets each polygon in exactly one chunk), so callers do NOT dedup.
     """
     import numpy as np
     import pandas as pd

@@ -58,6 +58,28 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def clear_persistent_rdds(spark: SparkSession) -> int:
+    """Unpersist every persisted RDD in the context; returns how many.
+
+    localCheckpoint(eager=False) intermediates (dedup.ngram_jaccard_pairs,
+    knn ring rounds) persist bounded candidate-sized partitions that live
+    until the context dies. One query leaves a trivial footprint, but
+    long-lived sessions that loop (bench sampling, check_contract's 40+
+    queries) accumulate them — call this BETWEEN invocations, after the
+    previous result is fully materialized. NOT safe mid-plan: local
+    checkpointing truncates lineage, so a plan that still references the
+    checkpointed RDD cannot recompute it after unpersist (Spark logs
+    exactly this warning)."""
+    jsc = spark.sparkContext._jsc.sc()
+    rdds = jsc.getPersistentRDDs()
+    it = rdds.values().iterator()
+    n = 0
+    while it.hasNext():
+        it.next().unpersist(False)
+        n += 1
+    return n
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] | None = None):
     """Register the driver-generated parquet tables as temp views.
 

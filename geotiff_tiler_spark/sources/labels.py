@@ -38,6 +38,12 @@ def label_boxes(supplier: DataFrame, key_col: str = "s_suppkey") -> DataFrame:
     Columns: feature_id, class, xmin, ymin, xmax, ymax (lon/lat degrees).
     Center from hash('bx:'|key) / hash('by:'|key); width/height from
     hash('bw:'|key) / hash('bh:'|key) in [MIN_WH, MIN_WH+MAX_W/H).
+
+    CONTRACT: feature_id is UNIQUE (key_col is the supplier primary key,
+    one output row per input row — no explode). point_in_box_join relies
+    on this to skip output dedup; test_spatial.test_label_boxes_unique
+    asserts it so a future source change fails loudly there, not as a
+    silent q23 parity break.
     """
     key = F.col(key_col).cast("string")
     u = lambda tag: (

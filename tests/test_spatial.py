@@ -366,3 +366,21 @@ def test_pip_chunked_probes_reduce_candidates_per_probe(rng):
     assert chunk_stats["probes"] >= 4
     per_probe = chunk_stats["candidates"] / chunk_stats["probes"]
     assert per_probe <= 0.5 * n_polys, (per_probe, chunk_stats)
+
+
+def test_label_boxes_unique(spark):
+    """point_in_box_join's no-dedup design rests on this invariant:
+    the labels source emits exactly ONE row per feature_id (see the
+    CONTRACT note in sources/labels.py:label_boxes). If a future source
+    duplicates feature rows, fail here — not as a silent q23 divergence
+    from its DISTINCT-based oracle."""
+    from pyspark.sql import functions as F
+
+    from geotiff_tiler_spark.sources.labels import label_boxes
+
+    supplier = spark.read.parquet("/root/testdata/sf0.001/supplier.parquet")
+    boxes = label_boxes(supplier)
+    n_rows, n_features = boxes.agg(
+        F.count(F.lit(1)), F.countDistinct("feature_id")
+    ).first()
+    assert n_rows == n_features and n_rows == supplier.count()

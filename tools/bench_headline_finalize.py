@@ -33,15 +33,21 @@ def main() -> None:
     best_q = {
         q: min(s["queries"][q] for s in samples if q in s["queries"]) for q in all_q
     }
+    # whole-suite total only over samples that ran the FULL current set;
+    # right after HEADLINE grows, older samples are partial — demand at
+    # least one full-set sample instead of letting min() raise ValueError
+    full = [s["total"] for s in samples if set(s["queries"]) == set(all_q)]
+    assert full, (
+        "no sample covers the full current headline set "
+        f"({sorted(all_q)}); run tools/bench_headline_sample.py at least "
+        "once after adding a query before finalizing"
+    )
     out = {
         "n_samples": len(samples),
         "sf_dir": samples[0]["sf_dir"],
         "queries_best": best_q,
         "sum_of_best": round(sum(best_q.values()), 3),
-        # whole-suite total only over samples that ran the FULL current set
-        "best_total": min(
-            s["total"] for s in samples if set(s["queries"]) == set(all_q)
-        ),
+        "best_total": min(full),
     }
     with open(os.path.join(REPO, "BENCH", "headline_best.json"), "w") as fh:
         json.dump(out, fh, indent=1)

@@ -73,6 +73,11 @@ def main() -> int:
         srows = sdf.collect()
         scols = sdf.columns
         t1 = time.time()
+        # release localCheckpoint storage (q11's candidate intermediates
+        # etc.) so 40+ queries in one session don't accumulate it
+        from geotiff_tiler_spark.session import clear_persistent_rdds
+
+        clear_persistent_rdds(spark)
         if name not in oracles:
             print(f"  {name}: rows={len(srows)} (no oracle — rows-only) {t1-t0:.1f}s")
             if len(srows) == 0:
