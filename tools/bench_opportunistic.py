@@ -23,7 +23,8 @@ LOAD_THRESHOLD = 0.6
 
 def main() -> None:
     """Plan entries: '32' / '8' = scale-workload sample at that parallelism;
-    'h32' = headline-suite sample (tools/bench_headline_sample.py)."""
+    'h32' = headline-suite sample (tools/bench_headline_sample.py);
+    'i32' = IVF-stage sample (tools/bench_ivf_sample.py)."""
     per_level = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 90.0
     cycle = (sys.argv[3].split(",") if len(sys.argv) > 3 else ["32", "8"])
@@ -38,6 +39,8 @@ def main() -> None:
         item = plan.pop(0)
         if item.startswith("h"):
             script, cpus = "bench_headline_sample.py", item[1:]
+        elif item.startswith("i"):
+            script, cpus = "bench_ivf_sample.py", item[1:]
         else:
             script, cpus = "bench_sample.py", item
         t0 = time.time()
