@@ -35,6 +35,9 @@ def main() -> None:
         "spark.stop()\n" % (REPO, cpus, max(cpus, 8), sf_dir)
     )
     load0 = os.getloadavg()[0]
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from steal import read_cpu, steal_pct
+    cpu0 = read_cpu()
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000,
         cwd=REPO,
@@ -44,6 +47,7 @@ def main() -> None:
     rec["cpus"] = cpus
     rec["sf_dir"] = sf_dir
     rec["load_at_start"] = round(load0, 2)
+    rec["steal_pct"] = steal_pct(cpu0, read_cpu())
     rec["ts"] = int(time.time())
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "headline_samples.jsonl"), "a") as fh:

@@ -33,6 +33,9 @@ def main() -> None:
         "spark.stop()\n" % (REPO, cpus, parts, SCALE_PAGES)
     )
     load0 = os.getloadavg()[0]
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from steal import read_cpu, steal_pct
+    cpu0 = read_cpu()
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
     )
@@ -40,6 +43,7 @@ def main() -> None:
     rec = json.loads(line[len("RESULT "):])
     rec["cpus"] = cpus
     rec["load_at_start"] = round(load0, 2)
+    rec["steal_pct"] = steal_pct(cpu0, read_cpu())
     rec["ts"] = int(time.time())
     rec["heap"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     rec["gc"] = os.environ.get("SPARK_GRAFT_GC", "default")
