@@ -779,6 +779,40 @@ def q43_source_dup_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DUP_CLUSTER_THRESHOLD = 0.8  # refine-stage jaccard for "is a duplicate"
+
+
+def q44_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (the compressed-corpus scale path): the
+    corpus scan reads m-byte PQ codes, distances come from per-query
+    lookup tables. ORACLE-CHECKED end-to-end: codebooks are deterministic
+    (shared kmeans_fit per subspace on the shared sorted sample), every
+    distance is the same left-associated fold on both engines, and
+    selection is the total order (adc, neighbor_id) — bit-identical with
+    NO rounding, including under the ADC ties duplicate docs produce."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.pq_topk(emb, k=5, query_mod=25)
+
+
+def q45_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution (keep-one curation op): LSH candidate
+    pairs -> exact Jaccard refine (the q11 chain) -> threshold ->
+    connected components via distributed min-label propagation. Output:
+    one row per cluster (canonical min-doc id, size, max member). The
+    DuckDB twin walks the same edges with a recursive CTE — an
+    independent fixpoint formulation of the same components."""
+    docs = _docs(spark, sf_dir)
+    sigs = dedup.minhash_signature(docs)
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_buckets(sigs))
+    jp = dedup.ngram_jaccard_pairs(docs, cand)
+    dup = jp.filter(F.col("jaccard") >= DUP_CLUSTER_THRESHOLD).select("doc_a", "doc_b")
+    clusters = dedup.duplicate_clusters(dup)
+    return clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -845,6 +879,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q41_repetition": q41_repetition,
         "q42_top_bigrams": q42_top_bigrams,
         "q43_source_dup_rates": q43_source_dup_rates,
+        "q44_pq_ann": q44_pq_ann,
+        "q45_dup_clusters": q45_dup_clusters,
     }
 
 
@@ -862,15 +898,18 @@ SELECT doc_id, mh_0, mh_7, mh_15 FROM sigs
 """
 
 
-def _q11_oracle() -> str:
+def _jaccard_pairs_ctes() -> str:
+    """The shared CTE chain producing table jp(doc_a, doc_b, inter, n_a,
+    n_b, jaccard) — LSH banding candidates + exact shingle-Jaccard refine.
+    One body, two consumers (_q11_oracle and _q45_oracle), per the
+    shared-formula rule."""
     sig_cols = ",\n         ".join(dedup.minhash_sql_cols())
     bands_union = "\n  UNION ALL\n".join(
         f"  SELECT doc_id, {b} AS band, {dedup.lsh_bucket_sql(b)} AS bucket FROM sigs"
         for b in range(dedup.BANDS)
     )
     sh_sql = T.shingles_sql("text", dedup.SHINGLE_K)
-    return f"""
-WITH sigs AS (
+    return f"""sigs AS (
   SELECT doc_id,
          {sig_cols}
   FROM documents
@@ -893,24 +932,127 @@ inter AS (
   JOIN sh a ON a.doc_id = p.doc_a
   JOIN sh b ON b.doc_id = p.doc_b AND b.sh = a.sh
   GROUP BY 1, 2
-)
-SELECT p.doc_a, p.doc_b, COALESCE(i.inter, 0) AS inter,
-       sa.n_sh AS n_a, sb.n_sh AS n_b,
-       CASE WHEN sa.n_sh + sb.n_sh - COALESCE(i.inter, 0) > 0
-            THEN COALESCE(i.inter, 0)::DOUBLE / (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0))
-            ELSE 0.0 END AS jaccard
-FROM pairs p
-LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-JOIN sizes sa ON sa.doc_id = p.doc_a
-JOIN sizes sb ON sb.doc_id = p.doc_b
+),
+jp AS (
+  SELECT p.doc_a, p.doc_b, COALESCE(i.inter, 0) AS inter,
+         sa.n_sh AS n_a, sb.n_sh AS n_b,
+         CASE WHEN sa.n_sh + sb.n_sh - COALESCE(i.inter, 0) > 0
+              THEN COALESCE(i.inter, 0)::DOUBLE / (sa.n_sh + sb.n_sh - COALESCE(i.inter, 0))
+              ELSE 0.0 END AS jaccard
+  FROM pairs p
+  LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+  JOIN sizes sa ON sa.doc_id = p.doc_a
+  JOIN sizes sb ON sb.doc_id = p.doc_b
+)"""
+
+
+def _q11_oracle() -> str:
+    return f"""
+WITH {_jaccard_pairs_ctes()}
+SELECT doc_a, doc_b, inter, n_a, n_b, jaccard FROM jp
+"""
+
+
+def _q45_oracle() -> str:
+    """Connected components over the >= threshold duplicate pairs via a
+    recursive min-label walk (UNION-dedup guarantees termination); same
+    pair CTEs as q11 (shared _jaccard_pairs_ctes)."""
+    return f"""
+WITH RECURSIVE {_jaccard_pairs_ctes()},
+dup AS (SELECT doc_a, doc_b FROM jp WHERE jaccard >= {DUP_CLUSTER_THRESHOLD}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup
+  UNION
+  SELECT doc_b AS src, doc_a AS dst FROM dup
+),
+walk(node, lbl) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY node)
+SELECT cluster_id, COUNT(*) AS n_docs, MAX(doc_id) AS max_doc
+FROM comp GROUP BY cluster_id
 """
 
 
 def _oracle_sf_dir() -> str:
     """Parquet dir the driver registers as DuckDB views (sf0.01 per the
     contract). Overridable so tools/check_contract.py can exercise the
-    generated-literal oracles (q28/q36) at other scale factors."""
+    generated-literal oracles (q28/q36/q44) at other scale factors."""
     return os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+
+
+def _q44_oracle() -> str:
+    """PQ ANN oracle: fit the SAME codebooks (similarity.pq_fit_books,
+    seeded, per-subspace kmeans on the ORDER BY id LIMIT sample) from a
+    DuckDB-fetched sample, embed them as DOUBLE[] literals, and express
+    per-subspace encoding (first-minimal argmin via ROW_NUMBER ORDER BY
+    d2, ci), the per-query lookup table, and the ADC top-k in pure SQL.
+    Every per-subspace distance is the left-associated per-dim fold
+    (similarity.pq_subspace_d2_sql) and the over-subspace ADC sum is the
+    explicit left-associated chain matching the numpy accumulation order
+    in similarity.pq_topk — bit-identical with NO rounding, including
+    under the ADC ties duplicate docs produce (selection is the total
+    order (adc, neighbor_id) on both engines)."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM '{_oracle_sf_dir()}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    con.close()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    m, ksub = similarity.PQ_M, similarity.PQ_KSUB
+    books = similarity.pq_fit_books(X, m=m, ksub=ksub, n_iter=10, seed=42)
+    dsub = similarity.EMB_DIM // m
+    d2 = similarity.pq_subspace_d2_sql("e.embedding", "b.cvec", "b.j", dsub)
+    qd2 = similarity.pq_subspace_d2_sql("q.q_vec", "b.cvec", "b.j", dsub)
+    pivot = ",\n           ".join(
+        f"MAX(CASE WHEN j = {j} THEN qd2 END) AS t{j}" for j in range(m)
+    )
+    adc_chain = "t0"
+    for j in range(1, m):
+        adc_chain = f"({adc_chain} + t{j})"
+    return f"""
+WITH books(j, ci, cvec) AS (VALUES
+  {similarity.pq_codebooks_sql_values(books)}
+),
+d AS (
+  SELECT e.vec_id, b.j, b.ci, {d2} AS d2
+  FROM embeddings e, books b
+),
+codes AS (
+  SELECT vec_id, j, ci AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, ci ASC) AS rn
+    FROM d
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0),
+lut AS (
+  SELECT q.query_id, b.j, b.ci, {qd2} AS qd2
+  FROM q, books b
+),
+terms AS (
+  SELECT l.query_id, c.vec_id AS neighbor_id, l.j, l.qd2
+  FROM codes c JOIN lut l ON l.j = c.j AND l.ci = c.code
+  WHERE l.query_id <> c.vec_id
+),
+adc AS (
+  SELECT query_id, neighbor_id, {adc_chain} AS adc FROM (
+    SELECT query_id, neighbor_id,
+           {pivot}
+    FROM terms GROUP BY 1, 2
+  )
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, rank, neighbor_id, adc FROM ranked WHERE rank <= 5
+"""
 
 
 def _q28_oracle() -> str:
@@ -1288,6 +1430,8 @@ FROM groups GROUP BY dup_cnt
         "q11_lsh_jaccard": _q11_oracle(),
         "q28_val_cells_greedy": _q28_oracle(),
         "q36_ivf_ann": _q36_oracle(),
+        "q44_pq_ann": _q44_oracle(),
+        "q45_dup_clusters": _q45_oracle(),
         "q12_simhash": r"""
 SELECT doc_id,
        CAST(CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 64) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 64 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 128) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 128 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 256) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 256 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 512) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 512 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1024) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1024 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2048) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2048 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4096) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4096 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8192) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8192 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16384) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16384 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32768) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32768 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 65536) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 65536 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 131072) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 131072 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 262144) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 262144 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 524288) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 524288 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1048576) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1048576 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2097152) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2097152 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4194304) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4194304 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8388608) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8388608 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16777216) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16777216 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 33554432) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 33554432 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 67108864) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 67108864 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 134217728) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 134217728 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 268435456) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 268435456 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 536870912) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 536870912 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1073741824) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1073741824 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2147483648) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2147483648 ELSE 0 END AS BIGINT) AS simhash,

@@ -47,6 +47,8 @@ HEADLINE = [
     "q41_repetition",
     "q42_top_bigrams",
     "q43_source_dup_rates",
+    "q44_pq_ann",
+    "q45_dup_clusters",
 ]
 
 

@@ -440,3 +440,63 @@ SELECT grams.doc_id, COUNT(*) AS n_shared
 FROM grams JOIN evalg ON grams.g = evalg.g
 GROUP BY grams.doc_id
 """
+
+
+def duplicate_clusters(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b", max_rounds: int = 20
+) -> DataFrame:
+    """Connected components over the duplicate-pair graph: (doc_id,
+    cluster_id) for every doc appearing in >= 1 pair, cluster_id = the
+    component's minimum doc id (the canonical keep-one representative).
+
+    The last rung of the dedup ladder: exact/MinHash/Jaccard stages emit
+    PAIRS, but a keep-one policy needs CLUSTERS (doc A~B, B~C must keep
+    one of three, not two of two overlapping pairs). Min-label
+    propagation: every node starts labeled with itself; each round every
+    node takes the min of its own and its neighbors' labels; fixpoint =
+    components. Deterministic by construction (min is order-free).
+
+    Scale shape: the edge set is the OUTPUT of the refine stage —
+    candidate-volume, a sliver of the corpus — so each round is one
+    equi-join + groupBy-min on a bounded frame, localCheckpointed to keep
+    lineage flat (the kNN ring-round pattern). Rounds = graph diameter;
+    near-clique duplicate groups converge in 1-2. For adversarial
+    long-chain graphs at extreme scale, switch to alternating
+    large-star/small-star rounds (Kiveris et al., "Connected Components
+    in MapReduce", SoCC 2014) — same fixpoint, O(log^2 n) rounds; the
+    simple propagation is the right default at duplicate-graph shapes.
+    """
+    edges = (
+        pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+        .union(pairs.select(F.col(b).alias("src"), F.col(a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)  # reused every round: materialize once
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_rounds):
+        prop = (
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            .select(F.col("dst").alias("node"), "lbl")
+        )
+        newl = (
+            labels.union(prop)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            newl.withColumnRenamed("lbl", "new_lbl")
+            .join(labels, "node")
+            .filter(F.col("new_lbl") != F.col("lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = newl
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))

@@ -642,21 +642,29 @@ def train_ivf_centroids(
     and sorts them driver-side, so the collected matrix is byte-identical
     to the old plan's.
     """
-    import numpy as np
-
     if sample is None:
         sample = min(max(4096, 8 * n_clusters), 32768)
+    X = _fetch_sorted_sample(emb, sample, id_col, vec_col)
+    return kmeans_fit(X, n_clusters, n_iter, seed)
+
+
+def _fetch_sorted_sample(emb, sample: int, id_col: str, vec_col: str):
+    """The `sample` smallest-id rows as a (sample, dim) float64 matrix in
+    id order — same rows as ``ORDER BY id LIMIT sample`` (the oracle
+    generators' formulation), fetched via the two-narrow-pass plan
+    described in train_ivf_centroids' docstring."""
+    import numpy as np
+
     ids = [r[0] for r in emb.select(id_col).orderBy(id_col).limit(sample).collect()]
     if not ids:
-        raise ValueError("train_ivf_centroids: empty input")
+        raise ValueError("_fetch_sorted_sample: empty input")
     pdf = (
         emb.select(id_col, vec_col)
         .filter(F.col(id_col) <= F.lit(ids[-1]))
         .toPandas()  # Arrow path: vectors land as numpy cells, no Row boxing
         .sort_values(id_col)
     )
-    X = np.asarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
-    return kmeans_fit(X, n_clusters, n_iter, seed)
+    return np.asarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
 
 
 # Past this list count the expression path's plan (nlist aggregate()
@@ -844,3 +852,255 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ (product quantization) — the compressed-corpus scale path
+# ---------------------------------------------------------------------------
+#
+# Reference parity note: the reference engine has no vector search at all;
+# this is part of the beyond-reference LLM-data-pipeline tier (SURVEY §6).
+# PQ is the technique that makes 100-TB-scale similarity feasible at all:
+# each 64-float vector compresses to m sub-codes (m bytes at ksub<=256 —
+# 32x smaller than float64), the corpus scan reads CODES ONLY, and each
+# query's distances come from an m x ksub lookup table (Jegou, Douze,
+# Schmid, "Product Quantization for Nearest Neighbor Search", PAMI 2011).
+
+PQ_M = 8  # subspaces (EMB_DIM/8 = 8 dims each)
+PQ_KSUB = 16  # centroids per subspace (oracle embeds m*ksub*dsub literals)
+
+
+def pq_train_codebooks(
+    emb, m: int = PQ_M, ksub: int = PQ_KSUB, n_iter: int = 10,
+    sample: int | None = None, id_col: str = "vec_id",
+    vec_col: str = "embedding", seed: int = 42,
+):
+    """Per-subspace k-means codebooks on the bounded training sample.
+
+    Returns a list of m (ksub, dsub) float64 arrays. Shares kmeans_fit
+    and the sorted-sample fetch with the IVF path, so the DuckDB oracle
+    (which trains from its own ORDER BY id LIMIT fetch) sees bit-identical
+    codebooks by construction. O(sample) driver work, never O(data)."""
+    if sample is None:
+        sample = min(max(4096, 8 * ksub), 32768)
+    X = _fetch_sorted_sample(emb, sample, id_col, vec_col)
+    return pq_fit_books(X, m=m, ksub=ksub, n_iter=n_iter, seed=seed)
+
+
+def pq_fit_books(X, m: int = PQ_M, ksub: int = PQ_KSUB, n_iter: int = 10, seed: int = 42):
+    """Codebooks from an in-memory training matrix — the single fitting
+    formula both engines call (the oracle feeds it a DuckDB-fetched
+    sample), so codebooks are bit-identical cross-engine."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"pq_fit_books: dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        kmeans_fit(np.ascontiguousarray(X[:, j * dsub : (j + 1) * dsub]), ksub, n_iter, seed)
+        for j in range(m)
+    ]
+
+
+def _pq_subspace_d2(Xsub, C):
+    """(n, ksub) squared distances by the SEQUENTIAL per-dim fold —
+    acc starts at 0.0 and adds (x_d - c_d)^2 in ascending d, the exact
+    float-op order of the oracle's left-associated SQL sum (and of the
+    JVM aggregate() fold), so argmin/ADC sums are bit-identical
+    cross-engine. The matmul-identity kernel (_chunked_d2) is NOT used
+    here: its summation tree differs in the last ulps, and PQ ties are
+    COMMON (duplicate docs share codes), not measure-zero."""
+    import numpy as np
+
+    Xs = np.asarray(Xsub, dtype=np.float64)
+    Cs = np.asarray(C, dtype=np.float64)
+    acc = np.zeros((len(Xs), len(Cs)), dtype=np.float64)
+    for d in range(Xs.shape[1]):
+        diff = Xs[:, d : d + 1] - Cs[None, :, d]
+        acc += diff * diff
+    return acc
+
+
+def pq_encode_codes(X, books):
+    """(n, m) int64 codes: per-subspace first-minimal argmin (the
+    ROW_NUMBER ... ORDER BY d2, ci rule of every assignment in this
+    module)."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    m = len(books)
+    dsub = X.shape[1] // m
+    codes = np.empty((len(X), m), dtype=np.int64)
+    for j in range(m):
+        d2 = _pq_subspace_d2(X[:, j * dsub : (j + 1) * dsub], books[j])
+        codes[:, j] = d2.argmin(axis=1)
+    return codes
+
+
+def pq_encode(emb, books, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """The materialized compressed corpus: (id, pq_code) with the m
+    sub-codes packed into ONE bigint (code_j in bits [8j, 8j+8) — ksub <=
+    256, m <= 8). This is the write-once artifact at 100 TB: 8 bytes per
+    vector instead of 256/512, scanned by every subsequent query; the
+    codebooks (m x ksub x dsub doubles) ride along in the table metadata.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if len(books) > 8 or any(len(b) > 256 for b in books):
+        raise ValueError("pq_encode packing supports m <= 8, ksub <= 256")
+    B = [b.copy() for b in books]
+
+    def _enc(vecs):
+        import numpy as np
+
+        if len(vecs) == 0:
+            return pd.Series([], dtype=np.int64)
+        X = np.asarray(np.stack(vecs.to_numpy()), dtype=np.float64)
+        codes = pq_encode_codes(X, B)
+        packed = np.zeros(len(X), dtype=np.int64)
+        for j in range(codes.shape[1]):
+            packed |= codes[:, j] << (8 * j)
+        return pd.Series(packed)
+
+    # asNondeterministic: same Catalyst double-eval hazard as
+    # _centroid_argmin_udf (join on the output column -> isnotnull pushed
+    # below the projection re-runs the UDF)
+    enc = pandas_udf(_enc, "bigint").asNondeterministic()
+    return emb.select(F.col(id_col).alias("vec_id_pq"), enc(F.col(vec_col)).alias("pq_code"))
+
+
+def pq_topk(
+    emb,
+    k: int = 5,
+    query_mod: int = 25,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    books=None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Asymmetric-distance (ADC) PQ top-k: per query, approximate squared
+    L2 = sum_j lut[j][code_j] over the corpus's per-subspace codes.
+
+    Scale shape — the reason this operator exists:
+      * the corpus side is ONE mapInPandas pass that encodes (or, against
+        a pq_encode table, just reads codes) and emits each partition's
+        EXACT (adc, neighbor_id)-lexicographic top-k per query — k rows
+        per (partition, query), never the distance matrix;
+      * the query side (queries x m x ksub doubles + ids) is a
+        closure-broadcast numpy constant — queries << corpus by
+        construction;
+      * the final window ranks partitions x k rows per query — bounded at
+        any corpus size, so no single-partition sort ever sees more than
+        n_partitions * k rows (the q42 two-stage-top-k rule).
+    Total-order selection (adc asc, neighbor_id asc) everywhere makes the
+    output independent of partitioning even under ADC TIES, which are
+    common (duplicate docs share codes). All distance arithmetic is the
+    sequential fold of _pq_subspace_d2 — bit-identical to the DuckDB
+    oracle, no rounding needed."""
+    import numpy as np
+    import pandas as pd
+
+    if books is None:
+        books = pq_train_codebooks(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    m = len(books)
+    qpdf = (
+        emb.filter(F.col(id_col) % query_mod == 0)
+        .select(id_col, vec_col)
+        .toPandas()
+        .sort_values(id_col)
+    )
+    out_schema = "query_id long, neighbor_id long, adc double"
+    if len(qpdf) == 0:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long, adc double"
+        )
+    qids = qpdf[id_col].to_numpy(dtype=np.int64)
+    Q = np.asarray(np.stack(qpdf[vec_col].to_numpy()), dtype=np.float64)
+    dsub = Q.shape[1] // m
+    # lut[q, j, ci]: the oracle's d2(query sub-vector, codebook row)
+    lut = np.empty((len(Q), m, len(books[0])), dtype=np.float64)
+    for j in range(m):
+        lut[:, j, :] = _pq_subspace_d2(Q[:, j * dsub : (j + 1) * dsub], books[j])
+    B = [b.copy() for b in books]
+    kk = k
+
+    def _scan(batches):
+        best_d = None  # (nq, P) running lexicographic top-P, P = kk
+        best_i = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.asarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
+            nids = pdf[id_col].to_numpy(dtype=np.int64)
+            codes = pq_encode_codes(X, B)
+            # adc[q, row] = left-assoc sum over j of lut[q, j, codes[row, j]]
+            adc = lut[:, 0, :][:, codes[:, 0]].copy()
+            for j in range(1, m):
+                adc += lut[:, j, :][:, codes[:, j]]
+            # self-match exclusion
+            self_mask = nids[None, :] == qids[:, None]
+            if self_mask.any():
+                adc[self_mask] = np.inf
+            cd = adc if best_d is None else np.concatenate([best_d, adc], axis=1)
+            ci = (
+                np.broadcast_to(nids, adc.shape)
+                if best_i is None
+                else np.concatenate([best_i, np.broadcast_to(nids, adc.shape)], axis=1)
+            )
+            # exact (adc, id) lexicographic top-P: two stable argsort
+            # passes (id first, then adc) — ties fully ordered, so the
+            # pool is the true top-P of everything seen so far
+            o1 = np.argsort(ci, axis=1, kind="stable")
+            cd = np.take_along_axis(cd, o1, axis=1)
+            ci = np.take_along_axis(ci, o1, axis=1)
+            o2 = np.argsort(cd, axis=1, kind="stable")[:, :kk]
+            best_d = np.take_along_axis(cd, o2, axis=1)
+            best_i = np.take_along_axis(ci, o2, axis=1)
+        if best_d is None:
+            return
+        keep = np.isfinite(best_d)
+        qcol = np.broadcast_to(qids[:, None], best_d.shape)
+        yield pd.DataFrame(
+            {
+                "query_id": qcol[keep],
+                "neighbor_id": best_i[keep],
+                "adc": best_d[keep],
+            }
+        )
+
+    from pyspark.sql.window import Window
+
+    part = emb.select(id_col, vec_col).mapInPandas(_scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (
+        part.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc")
+    )
+
+
+def pq_codebooks_sql_values(books) -> str:
+    """(j, ci, cvec DOUBLE[]) VALUES rows for the oracle CTE — literals via
+    repr() like the IVF oracle, so DuckDB parses the exact doubles."""
+    return ",\n  ".join(
+        "({}, {}, [{}]::DOUBLE[])".format(j, ci, ", ".join(repr(float(v)) for v in c))
+        for j, book in enumerate(books)
+        for ci, c in enumerate(book)
+    )
+
+
+def pq_subspace_d2_sql(vec: str, cvec: str, j_expr: str, dsub: int) -> str:
+    """Left-associated explicit fold over one subspace's dims: term d reads
+    vec[j*dsub + d] (1-based) against cvec[d]. Identical float-op order to
+    _pq_subspace_d2 (0.0 + t1 exactly equals t1, so the leading zero of
+    the numpy fold drops out)."""
+    terms = [
+        f"(({vec}[{j_expr} * {dsub} + {d}]::DOUBLE) - {cvec}[{d}]) * "
+        f"(({vec}[{j_expr} * {dsub} + {d}]::DOUBLE) - {cvec}[{d}])"
+        for d in range(1, dsub + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"

@@ -1,0 +1,132 @@
+"""PQ (product-quantization ANN) and duplicate-cluster resolution vs
+independent pure-Python/numpy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.operators import dedup, similarity
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def _load_emb(spark):
+    return spark.read.parquet(f"{SF001}/embeddings.parquet")
+
+
+def test_pq_encode_codes_matches_bruteforce():
+    """Per-subspace argmin with first-minimal tie rule, vs a naive
+    per-row/per-centroid double loop."""
+    rng = np.random.RandomState(7)
+    X = rng.randn(40, 16)
+    books = similarity.pq_fit_books(X, m=4, ksub=4, n_iter=4, seed=1)
+    codes = similarity.pq_encode_codes(X, books)
+    dsub = 4
+    for i in range(len(X)):
+        for j in range(4):
+            xs = X[i, j * dsub : (j + 1) * dsub]
+            d2 = [float(np.sum((xs - c) ** 2)) for c in books[j]]
+            want = min(range(len(d2)), key=lambda ci: (d2[ci], ci))
+            assert codes[i, j] == want
+
+
+def test_pq_topk_matches_numpy_adc_oracle(spark):
+    """End-to-end pq_topk vs a driver-side numpy ADC scan with the same
+    (adc, neighbor_id) lexicographic selection — exact equality, no
+    rounding, including under ADC ties from duplicate codes."""
+    emb = _load_emb(spark)
+    out = similarity.pq_topk(emb, k=3, query_mod=40).orderBy("query_id", "rank")
+    got = [(r.query_id, r.rank, r.neighbor_id, r.adc) for r in out.collect()]
+
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    X = np.asarray(np.stack(pdf["embedding"].to_numpy()), dtype=np.float64)
+    books = similarity.pq_train_codebooks(emb)
+    codes = similarity.pq_encode_codes(X, books)
+    m = len(books)
+    dsub = X.shape[1] // m
+    want = []
+    for qi in np.nonzero(ids % 40 == 0)[0]:
+        lut = [
+            similarity._pq_subspace_d2(
+                X[qi : qi + 1, j * dsub : (j + 1) * dsub], books[j]
+            )[0]
+            for j in range(m)
+        ]
+        adc = np.zeros(len(ids))
+        for j in range(m):
+            adc = adc + lut[j][codes[:, j]]
+        cand = sorted(
+            ((float(adc[i]), int(ids[i])) for i in range(len(ids)) if ids[i] != ids[qi]),
+        )[:3]
+        want.extend(
+            (int(ids[qi]), r + 1, nid, d) for r, (d, nid) in enumerate(cand)
+        )
+    assert got == want
+
+
+def test_pq_topk_partition_invariant(spark):
+    """Total-order selection makes the result independent of the corpus
+    partitioning (the mapInPandas partial top-k must be exact)."""
+    emb = _load_emb(spark)
+    books = similarity.pq_train_codebooks(emb)
+    a = similarity.pq_topk(emb, k=3, query_mod=40, books=books)
+    b = similarity.pq_topk(emb.repartition(13), k=3, query_mod=40, books=books)
+    ra = sorted(map(tuple, a.collect()))
+    rb = sorted(map(tuple, b.collect()))
+    assert ra == rb
+
+
+def test_pq_encode_packs_codes(spark):
+    """pq_encode packs the m sub-codes into one bigint, 8 bits each."""
+    emb = _load_emb(spark).limit(50)
+    books = similarity.pq_train_codebooks(_load_emb(spark))
+    packed = {r.vec_id_pq: r.pq_code for r in similarity.pq_encode(emb, books).collect()}
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.asarray(np.stack(pdf["embedding"].to_numpy()), dtype=np.float64)
+    codes = similarity.pq_encode_codes(X, books)
+    for row, vid in zip(codes, pdf["vec_id"].to_numpy()):
+        want = 0
+        for j, c in enumerate(row):
+            want |= int(c) << (8 * j)
+        assert packed[int(vid)] == want
+
+
+def _py_components(edges):
+    """Union-find oracle: {node: min id of its component}."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_duplicate_clusters_matches_union_find(spark):
+    """Min-label propagation vs union-find on a graph with a chain (tests
+    multi-round convergence), a clique, an isolated pair, and overlap."""
+    edges = [
+        (1, 2), (2, 3), (3, 4), (4, 5),  # 5-chain: needs >1 round
+        (10, 11), (11, 12), (10, 12),    # triangle
+        (20, 21),                        # pair
+        (30, 5),                         # joins the chain late
+    ]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == _py_components(edges)
+
+
+def test_duplicate_clusters_ignores_edge_direction(spark):
+    edges = [(5, 1), (2, 5), (9, 8)]
+    pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in dedup.duplicate_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 8: 8, 9: 8}
