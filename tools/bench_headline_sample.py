@@ -48,6 +48,10 @@ def main() -> None:
     rec["sf_dir"] = sf_dir
     rec["load_at_start"] = round(load0, 2)
     rec["steal_pct"] = steal_pct(cpu0, read_cpu())
+    rec["git"] = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True,
+        cwd=REPO,
+    ).stdout.strip()  # code provenance: which commit produced this sample
     rec["ts"] = int(time.time())
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "headline_samples.jsonl"), "a") as fh:

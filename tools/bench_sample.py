@@ -44,6 +44,10 @@ def main() -> None:
     rec["cpus"] = cpus
     rec["load_at_start"] = round(load0, 2)
     rec["steal_pct"] = steal_pct(cpu0, read_cpu())
+    rec["git"] = subprocess.run(
+        ["git", "rev-parse", "--short", "HEAD"], capture_output=True, text=True,
+        cwd=REPO,
+    ).stdout.strip()  # code provenance: which commit produced this sample
     rec["ts"] = int(time.time())
     rec["heap"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     rec["gc"] = os.environ.get("SPARK_GRAFT_GC", "default")
