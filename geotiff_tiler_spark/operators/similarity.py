@@ -772,6 +772,31 @@ def ivf_build_index(emb, centroids, id_col: str = "vec_id", vec_col: str = "embe
     )
 
 
+def ivf_write_index(index: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write the build-once IVF index as a cluster-PARTITIONED parquet
+    table — the 100-TB index artifact the ivf_build_index docstring
+    promises. Partitioning by ivf_cluster makes a probe query's corpus
+    scan prunable to exactly the lists being probed: the probe join
+    broadcasts the (queries x nprobe) side, and Spark's dynamic partition
+    pruning turns that broadcast into a partition filter on this table's
+    scan — nprobe/nlist of the corpus read, not all of it
+    (test_plans.test_written_ivf_index_scan_is_partition_pruned asserts
+    the dynamicpruning filter is in the scan). At 4000 lists the layout is
+    4000 directories; at 100 TB each holds ~25 GB of (id, vec, norm) rows
+    — well-formed parquet sizing with per-list row-group locality."""
+    index.write.mode(mode).partitionBy("ivf_cluster").parquet(path)
+
+
+def ivf_read_index(spark, path: str) -> DataFrame:
+    """Read a written IVF index with the exact build schema. The explicit
+    schema keeps ivf_cluster BIGINT (partition-column type inference would
+    narrow it to INT, and the resulting cast on the join key can defeat
+    dynamic partition pruning)."""
+    return spark.read.schema(
+        "neighbor_id bigint, c_vec array<double>, c_norm double, ivf_cluster bigint"
+    ).parquet(path)
+
+
 def ivf_topk(
     emb,
     k: int = 5,

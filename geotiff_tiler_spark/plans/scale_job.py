@@ -154,8 +154,8 @@ def run_ivf_stage(spark: SparkSession, n_rows: int = 1_000_000, query_mod: int =
     The index is deliberately NOT persisted/written here: on this VM
     caching 1M deserialized array rows costs 120-160 s and a parquet
     write ~40 s, while the fused recompute inside the probe query is
-    ~7 s — at 100 TB the index IS written (cluster-bucketed table,
-    ivf_build_index docstring), but local-mode storage would measure the
+    ~7 s — at 100 TB the index IS written (similarity.ivf_write_index:
+    cluster-partitioned parquet, probe scans dynamic-partition-pruned), but local-mode storage would measure the
     VM's allocator, not the operator."""
     from geotiff_tiler_spark.operators import similarity
 

@@ -200,3 +200,67 @@ def test_ivf_topk_broadcasts_probes_and_evals_assign_once(spark):
     assert plan.count("ArrowEvalPython [_assign") == 1, plan
     # BuildLeft = the probes side (left input of the join) is broadcast
     assert "BroadcastHashJoin" in plan and "BuildLeft" in plan, plan
+
+
+def test_pq_topk_final_window_input_is_bounded(spark):
+    """q44's final window must rank ONLY the mapInPandas partial top-k
+    output (n_partitions x k rows per query) — the plan's window sits
+    directly above the Python scan stage, and no corpus-sized join or
+    explode feeds it."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    from geotiff_tiler_spark.operators import similarity
+
+    tk = similarity.pq_topk(emb, k=3, query_mod=40)
+    plan = _plan(tk)
+    # one Python corpus pass, no join anywhere in the query
+    assert plan.count("MapInPandas") == 1, plan
+    assert "Join" not in plan, plan
+    # the window ranks the Python stage's bounded output (an exchange on
+    # query_id between them is fine - it moves partitions x k rows)
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan
+
+
+def test_duplicate_clusters_rounds_are_bounded_joins(spark):
+    """q45's propagation round is one equi-join + partial/final min agg on
+    the EDGE-sized frame; lineage is cut by lazy localCheckpoint so the
+    per-round plan never re-derives prior rounds (no exponential plan
+    growth across rounds)."""
+    from geotiff_tiler_spark.operators import dedup
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = dedup.duplicate_clusters(pairs, max_rounds=3)
+    plan = _optimized(out)
+    # the returned frame's lineage starts at the checkpointed labels scan,
+    # not at the original pairs: no Union-of-rounds pyramid in the plan
+    assert "LogicalRDD" in plan or "Scan ExistingRDD" in plan, plan
+    assert plan.count("Join") <= 1, plan
+
+
+def test_written_ivf_index_scan_is_partition_pruned(spark, tmp_path_factory):
+    """The 100-TB written-index path: the probe join against a
+    cluster-partitioned index table must (a) return exactly the in-memory
+    index's results, and (b) carry a dynamic-partition-pruning filter on
+    the index scan — the corpus read is nprobe/nlist of the table, not a
+    full scan."""
+    from geotiff_tiler_spark.operators import similarity
+    from geotiff_tiler_spark.plans.scale_job import synth_embeddings
+
+    emb = synth_embeddings(spark, 5000)
+    cent = similarity.train_ivf_centroids(emb, n_clusters=128)
+    path = str(tmp_path_factory.mktemp("ivfidx") / "index")
+    similarity.ivf_write_index(similarity.ivf_build_index(emb, cent), path)
+
+    table = similarity.ivf_read_index(spark, path)
+    tk = similarity.ivf_topk(
+        emb, k=5, query_mod=100, n_clusters=128, nprobe=2, n=5000,
+        centroids=cent, index=table,
+    )
+    plan = _plan(tk)
+    assert "dynamicpruning" in plan.lower(), plan
+    mem = similarity.ivf_topk(
+        emb, k=5, query_mod=100, n_clusters=128, nprobe=2, n=5000,
+        centroids=cent, index=similarity.ivf_build_index(emb, cent),
+    )
+    assert sorted(map(tuple, tk.collect())) == sorted(map(tuple, mem.collect()))
