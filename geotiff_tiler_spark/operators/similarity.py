@@ -1052,39 +1052,62 @@ def pq_topk(
         lut[:, j, :] = _pq_subspace_d2(Q[:, j * dsub : (j + 1) * dsub], books[j])
     B = [b.copy() for b in books]
     kk = k
+    # 4096-row chunks bound the (nq, chunk) ADC scratch to a few tens of
+    # MB; the block is allocated ONCE per partition and reused in-place
+    # across chunks (np.take(out=), +=) — fresh large numpy allocations
+    # first-touch at ~MB/s on this VM, and the naive per-subspace
+    # fancy-index (a fresh nq x batch array per j) measured 60+ s for a
+    # 50k-row corpus where the warm-scratch pass takes 0.6 s.
+    PQ_SCAN_CHUNK = 4096
 
     def _scan(batches):
         best_d = None  # (nq, P) running lexicographic top-P, P = kk
         best_i = None
+        adc_buf = None  # (nq, CHUNK) scratch, first-touched once
+        tmp_buf = None
+        luts = [np.ascontiguousarray(lut[:, j, :]) for j in range(m)]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             X = np.asarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
-            nids = pdf[id_col].to_numpy(dtype=np.int64)
-            codes = pq_encode_codes(X, B)
-            # adc[q, row] = left-assoc sum over j of lut[q, j, codes[row, j]]
-            adc = lut[:, 0, :][:, codes[:, 0]].copy()
-            for j in range(1, m):
-                adc += lut[:, j, :][:, codes[:, j]]
-            # self-match exclusion
-            self_mask = nids[None, :] == qids[:, None]
-            if self_mask.any():
-                adc[self_mask] = np.inf
-            cd = adc if best_d is None else np.concatenate([best_d, adc], axis=1)
-            ci = (
-                np.broadcast_to(nids, adc.shape)
-                if best_i is None
-                else np.concatenate([best_i, np.broadcast_to(nids, adc.shape)], axis=1)
-            )
-            # exact (adc, id) lexicographic top-P: two stable argsort
-            # passes (id first, then adc) — ties fully ordered, so the
-            # pool is the true top-P of everything seen so far
-            o1 = np.argsort(ci, axis=1, kind="stable")
-            cd = np.take_along_axis(cd, o1, axis=1)
-            ci = np.take_along_axis(ci, o1, axis=1)
-            o2 = np.argsort(cd, axis=1, kind="stable")[:, :kk]
-            best_d = np.take_along_axis(cd, o2, axis=1)
-            best_i = np.take_along_axis(ci, o2, axis=1)
+            nids_all = pdf[id_col].to_numpy(dtype=np.int64)
+            codes_all = pq_encode_codes(X, B)
+            for s in range(0, len(X), PQ_SCAN_CHUNK):
+                codes = codes_all[s : s + PQ_SCAN_CHUNK]
+                nids = nids_all[s : s + PQ_SCAN_CHUNK]
+                if adc_buf is None:
+                    adc_buf = np.empty((len(qids), PQ_SCAN_CHUNK))
+                    tmp_buf = np.empty((len(qids), PQ_SCAN_CHUNK))
+                adc = adc_buf[:, : len(nids)]
+                tmp = tmp_buf[:, : len(nids)]
+                # adc[q, row] = left-assoc sum_j lut[q, j, codes[row, j]]
+                np.take(luts[0], codes[:, 0], axis=1, out=adc)
+                for j in range(1, m):
+                    np.take(luts[j], codes[:, j], axis=1, out=tmp)
+                    adc += tmp
+                # self-match exclusion
+                self_mask = nids[None, :] == qids[:, None]
+                if self_mask.any():
+                    adc[self_mask] = np.inf
+                cd = adc if best_d is None else np.concatenate([best_d, adc], axis=1)
+                ci = (
+                    np.broadcast_to(nids, adc.shape)
+                    if best_i is None
+                    else np.concatenate(
+                        [best_i, np.broadcast_to(nids, adc.shape)], axis=1
+                    )
+                )
+                # exact (adc, id) lexicographic top-P: two stable argsort
+                # passes (id first, then adc) — ties fully ordered, so the
+                # pool is the true top-P of everything seen so far; a total
+                # order's top-P is chunking-invariant, so per-chunk merging
+                # yields bit-identical output to the whole-batch merge
+                o1 = np.argsort(ci, axis=1, kind="stable")
+                cd = np.take_along_axis(cd, o1, axis=1)
+                ci = np.take_along_axis(ci, o1, axis=1)
+                o2 = np.argsort(cd, axis=1, kind="stable")[:, :kk]
+                best_d = np.take_along_axis(cd, o2, axis=1)
+                best_i = np.take_along_axis(ci, o2, axis=1)
         if best_d is None:
             return
         keep = np.isfinite(best_d)

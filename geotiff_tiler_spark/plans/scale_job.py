@@ -184,3 +184,40 @@ def run_ivf_stage(spark: SparkSession, n_rows: int = 1_000_000, query_mod: int =
         "sec": sec,
         "rows_per_sec": round(n_rows / sec, 1) if sec > 0 else None,
     }
+
+
+def run_pq_stage(spark: SparkSession, n_rows: int = 1_000_000, query_mod: int = 1000) -> dict:
+    """Measured number for the PQ (product-quantization) ANN path at the
+    same 1M-row scale as run_ivf_stage — the compressed-corpus
+    alternative: the corpus never materializes a float index at all; one
+    mapInPandas pass encodes each partition to 8-byte codes and emits the
+    exact per-partition (adc, id)-lexicographic top-k per query.
+
+    Two timed phases, mirroring the IVF stage:
+      train — per-subspace k-means codebooks on the bounded sorted sample
+              (m=8 subspaces x ksub=16 centroids x 8 dims: ~100x less
+              driver arithmetic than IVF's 4000-list k-means);
+      topk  — the single corpus pass + the bounded final window
+              (n_partitions x k rows per query)."""
+    from geotiff_tiler_spark.operators import similarity
+
+    emb = synth_embeddings(spark, n_rows).persist()
+    emb.count()  # materialize: stage times the PQ work, not the generator
+    t0 = time.time()
+    books = similarity.pq_train_codebooks(emb)
+    t_train = time.time()
+    topk = similarity.pq_topk(emb, k=5, query_mod=query_mod, books=books)
+    n_out = topk.count()
+    t1 = time.time()
+    sec = round(t1 - t0, 2)
+    emb.unpersist()
+    return {
+        "n_rows": n_rows,
+        "m": similarity.PQ_M,
+        "ksub": similarity.PQ_KSUB,
+        "topk_rows": n_out,
+        "sec_train": round(t_train - t0, 2),
+        "sec_topk": round(t1 - t_train, 2),
+        "sec": sec,
+        "rows_per_sec": round(n_rows / sec, 1) if sec > 0 else None,
+    }

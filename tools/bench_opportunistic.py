@@ -41,6 +41,8 @@ def main() -> None:
             script, cpus = "bench_headline_sample.py", item[1:]
         elif item.startswith("i"):
             script, cpus = "bench_ivf_sample.py", item[1:]
+        elif item.startswith("p"):
+            script, cpus = "bench_pq_sample.py", item[1:]
         else:
             script, cpus = "bench_sample.py", item
         t0 = time.time()
