@@ -49,6 +49,8 @@ HEADLINE = [
     "q43_source_dup_rates",
     "q44_pq_ann",
     "q45_dup_clusters",
+    "q46_bm25_topk",
+    "q47_unigram_nll",
 ]
 
 
@@ -98,6 +100,36 @@ def _ivf_best() -> dict | None:
         "n_samples": len(samples),
         "n_rows": samples[0]["n_rows"],
         "nlist": samples[0]["nlist"],
+        "topk_rows": samples[0]["topk_rows"],
+        "sec_train_best": min(s["sec_train"] for s in samples),
+        "sec_topk_best": min(s["sec_topk"] for s in samples),
+        "sec_best": min(s["sec"] for s in samples),
+        "rows_per_sec_best": max(s["rows_per_sec"] for s in samples),
+    }
+
+
+def _pq_best() -> dict | None:
+    """Best-of-exclusive-samples for the 1M-row PQ stage
+    (tools/bench_pq_sample.py appends; per-field minimum over local[32]
+    samples — same estimator as the IVF stage)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "pq_samples.jsonl"
+    )
+    try:
+        with open(path) as fh:
+            samples = [json.loads(l) for l in fh if l.strip()]
+    except OSError:
+        return None
+    samples = [s for s in samples if s.get("cpus") == 32 and s.get("n_rows") == 1_000_000]
+    if not samples:
+        return None
+    rows = {s["topk_rows"] for s in samples}
+    assert len(rows) == 1, ("pq output parity violated across samples", rows)
+    return {
+        "n_samples": len(samples),
+        "n_rows": samples[0]["n_rows"],
+        "m": samples[0]["m"],
+        "ksub": samples[0]["ksub"],
         "topk_rows": samples[0]["topk_rows"],
         "sec_train_best": min(s["sec_train"] for s in samples),
         "sec_topk_best": min(s["sec_topk"] for s in samples),
@@ -210,6 +242,10 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
 
     ivf_rows = int(os.environ.get("SPARK_GRAFT_IVF_ROWS", "1000000"))
     ivf = run_ivf_stage(spark, ivf_rows) if ivf_rows > 0 else None
+    # PQ (compressed-corpus) ANN at the same scale — the codes-only scan
+    from geotiff_tiler_spark.plans.scale_job import run_pq_stage
+
+    pq = run_pq_stage(spark, ivf_rows) if ivf_rows > 0 else None
     spark.stop()
     out_rows = sum(rows.values())
     return {
@@ -225,6 +261,8 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
         "scale_workload": scale,
         "ivf": ivf,
         "ivf_best_exclusive": _ivf_best(),
+        "pq": pq,
+        "pq_best_exclusive": _pq_best(),
         "tiles_join_rows_per_sec": scale["tiles_join_rows_per_sec"],
         "lsh_blocking": lsh_blocking,
         "scaling": _last_scaling(),

@@ -1,0 +1,259 @@
+"""Corpus-statistics ranking and quality ops for the webtext tier.
+
+Beyond-reference LLM-data-pipeline operators (SURVEY §6): BM25 relevance
+scoring against a fixed query-term set, and a CCNet-style unigram
+negative-log-likelihood quality proxy (Wenzek et al., "CCNet: Extracting
+High Quality Monolingual Datasets from Web Crawl Data", 2020 — the
+filter-by-LM-perplexity idea with the LM replaced by corpus-self unigram
+frequencies, which keeps the op closed over the input table and exactly
+reproducible in SQL).
+
+Cross-engine parity: every numeric formula is generated ONCE as a SQL
+expression string (the `*_expr_sql` helpers) and evaluated by BOTH
+engines — Spark via ``F.expr``, DuckDB verbatim in the oracle — so the
+float-op trees are identical. `ln` is the one libm call (not required to
+be correctly rounded by IEEE), so every ln() result is rounded to 9
+decimals at the term level before anything sums it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.functions import text as T
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+# fixed query-term set for the oracled q46 query (terms from the synthetic
+# corpus vocabulary; a df=0 term contributes an exact 0 to every score)
+BM25_TERMS = ("table", "hash", "window", "sort", "merge")
+
+
+def avgdl_expr_sql() -> str:
+    """Mean document length from exact-integer corpus stats — evaluated
+    identically by both engines (bigint/bigint `/` is float division in
+    Spark SQL and DuckDB alike, and both ints are exactly representable)."""
+    return "(CAST(total_tokens AS DOUBLE) / n_docs)"
+
+
+def bm25_idf_expr_sql(df_col: str, n_docs: str = "n_docs") -> str:
+    """Robertson-Sparck-Jones +1 idf (always positive), ln rounded to 9."""
+    return f"round(ln(({n_docs} - {df_col} + 0.5) / ({df_col} + 0.5) + 1.0), 9)"
+
+
+def bm25_term_expr_sql(tf: str, dl: str, idf: str, k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """One term's BM25 contribution. tf=0 yields an exact 0.0 (the
+    numerator is idf * 0 and the denominator is strictly positive), so the
+    sum over the fixed term list needs no per-term CASE."""
+    return (
+        f"{idf} * ({tf} * {k1 + 1.0!r}) / "
+        f"({tf} + {k1!r} * (1.0 - {b!r} + {b!r} * {dl} / {avgdl_expr_sql()}))"
+    )
+
+
+def bm25_score_expr_sql(terms=BM25_TERMS, k1: float = BM25_K1, b: float = BM25_B) -> str:
+    """Whole-document score: the FIXED-ORDER left-associated sum of the
+    per-term contributions (an expression, not an aggregate — no
+    float-summation-order nondeterminism), rounded to 6."""
+    parts = [
+        bm25_term_expr_sql(f"tf_{i}", "dl", bm25_idf_expr_sql(f"df_{i}"), k1, b)
+        for i in range(len(terms))
+    ]
+    return f"round({' + '.join(parts)}, 6)"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms=BM25_TERMS,
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by BM25 against a fixed query-term set.
+
+    Scale shape — deliberately join-free and explode-free:
+      * per-doc term frequencies come straight off the token ARRAY
+        (`size(filter(tokens, = term))` per term — pure map, zero
+        shuffle, no token-level row blow-up);
+      * the corpus constants (n_docs, total_tokens, per-term document
+        frequencies) are ONE 1-row aggregate, broadcast back via
+        crossJoin — bytes, at any corpus size;
+      * selection is orderBy+limit = TakeOrderedAndProject (per-partition
+        top-k then a k-row driver merge), never a single-partition window.
+    The corpus is scanned twice (stats pass + scoring pass), both passes
+    column-pruned to the text column — the price of keeping the plan free
+    of a doc-id shuffle join.
+
+    Output: (doc_id, score, n_terms_hit), score desc / doc_id asc, <= k
+    rows. Ordering compares the ROUNDED score, so the boundary is
+    identical cross-engine."""
+    toks = T.tokens(text_col)
+    per_doc_cols = [F.col(id_col), F.size(toks).cast("bigint").alias("dl")]
+    for i, t in enumerate(terms):
+        # single-parameter lambda (a 2nd param would receive the element
+        # index); F.filter invokes it eagerly, so capturing `t` is safe
+        lit_t = F.lit(t)
+        per_doc_cols.append(
+            F.size(F.filter(toks, lambda x: x == lit_t)).cast("bigint").alias(f"tf_{i}")  # noqa: B023
+        )
+    per_doc = docs.select(*per_doc_cols)
+
+    stat_aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_tokens"),
+    ]
+    for i in range(len(terms)):
+        stat_aggs.append(
+            F.sum((F.col(f"tf_{i}") > 0).cast("bigint")).alias(f"df_{i}")
+        )
+    stats = per_doc.agg(*stat_aggs)
+
+    hit = None
+    for i in range(len(terms)):
+        h = (F.col(f"tf_{i}") > 0).cast("bigint")
+        hit = h if hit is None else hit + h
+    scored = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .withColumn("score", F.expr(bm25_score_expr_sql(terms, k1, b)))
+        .withColumn("n_terms_hit", hit)
+        .filter(F.col("n_terms_hit") > 0)
+        .select(id_col, "score", "n_terms_hit")
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_topk_sql(
+    table: str = "documents",
+    terms=BM25_TERMS,
+    k: int = 20,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_expr: str = "text",
+    id_col: str = "doc_id",
+) -> str:
+    """DuckDB twin of bm25_topk — same `*_expr_sql` formula strings over
+    the same per-doc tf/dl columns."""
+    toks = T.tokens_sql(text_expr)
+    tf_cols = ", ".join(
+        f"CAST(len(list_filter({toks}, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_{i}"
+        for i in range(len(terms))
+    )
+    hits = " + ".join(
+        f"CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END" for i in range(len(terms))
+    )
+    return f"""
+WITH per_doc AS (
+  SELECT {id_col},
+         CAST(len({toks}) AS BIGINT) AS dl,
+         {tf_cols}
+  FROM {table}
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS BIGINT) AS total_tokens,
+         {df_cols}
+  FROM per_doc
+)
+SELECT {id_col},
+       {bm25_score_expr_sql(terms, k1, b)} AS score,
+       CAST({hits} AS BIGINT) AS n_terms_hit
+FROM per_doc CROSS JOIN stats
+WHERE {hits} > 0
+ORDER BY score DESC, {id_col} ASC
+LIMIT {k}
+"""
+
+
+def nll_lp_int_expr_sql() -> str:
+    """Per-token unigram log-probability as an EXACT INTEGER in nano-nats:
+    round(ln(count/total) * 1e9) cast to bigint. Summing doubles per doc is
+    partition-order-dependent, and at sf1 scale 3 of 50,000 docs landed
+    exactly on a 6th-decimal rounding boundary and diverged cross-engine;
+    bigint sums are exact and order-free. The round() makes the double
+    integral BEFORE the cast, so DuckDB's rounding cast and Spark's
+    truncating cast agree. |ln p| < 40 -> |lp_int| < 4e10; a doc's sum
+    stays far inside bigint."""
+    return "CAST(round(ln(CAST(c AS DOUBLE) / total_tokens) * 1000000000.0) AS BIGINT)"
+
+
+def nll_final_expr_sql(sum_col: str = "sum_lp", n_col: str = "n_tokens") -> str:
+    """Mean nll in nats from the exact nano-nat sum: both divisions exact
+    inputs -> correctly-rounded IEEE ops -> deterministic cross-engine."""
+    return f"round(-CAST({sum_col} AS DOUBLE) / ({n_col} * 1000000000.0), 6)"
+
+
+def unigram_nll(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram negative log likelihood (quality proxy): the
+    mean -ln p(token) under the corpus's own unigram distribution. High
+    nll = tokens rare in this corpus = boilerplate-free but also
+    gibberish-prone; low nll = repetitive/templated. The CCNet filter
+    ranks on exactly this shape of score.
+
+    Scale shape: one explode -> vocabulary aggregate (partial+final hash
+    agg, map-side combined: corpus-token rows in, |vocab| rows out), then
+    the token->logprob equi-join back (the honest corpus-wide shuffle; hot
+    tokens — stopwords hit every document — are exactly the skew AQE's
+    skew-join splitting handles, enabled in session.get_spark; at 100 TB
+    the |head-vocab| rows that carry most of the mass would be broadcast
+    and only the tail shuffled), and a per-doc aggregate. The corpus is
+    scanned twice (vocab pass + join pass), both column-pruned.
+
+    Output: (doc_id, n_tokens, nll) for every doc with >= 1 token. The
+    per-doc aggregation sums EXACT nano-nat integers (nll_lp_int_expr_sql)
+    — float sums over shuffled rows are order-dependent, and the 6-decimal
+    output is only deterministic because the sum is integral."""
+    toks = docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
+    cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = docs.agg(F.sum(T.token_count(text_col)).alias("total_tokens"))
+    lp = cnt.crossJoin(F.broadcast(stats)).withColumn(
+        "lp_int", F.expr(nll_lp_int_expr_sql())
+    )
+    joined = toks.join(lp.select("tok", "lp_int"), "tok")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("lp_int").alias("sum_lp"),
+    )
+    return per_doc.select(
+        id_col,
+        "n_tokens",
+        F.expr(nll_final_expr_sql()).alias("nll"),
+    )
+
+
+def unigram_nll_sql(
+    table: str = "documents", text_expr: str = "text", id_col: str = "doc_id"
+) -> str:
+    """DuckDB twin of unigram_nll — same lp/final formula strings."""
+    toks = T.tokens_sql(text_expr)
+    return f"""
+WITH toks AS (
+  SELECT {id_col}, t.tok AS tok FROM {table}, unnest({toks}) AS t(tok)
+),
+cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY tok),
+stats AS (
+  SELECT CAST(SUM(CAST(len({toks}) AS BIGINT)) AS BIGINT) AS total_tokens
+  FROM {table}
+),
+lp AS (
+  SELECT tok, {nll_lp_int_expr_sql()} AS lp_int FROM cnt CROSS JOIN stats
+),
+per_doc AS (
+  SELECT {id_col},
+         CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(lp.lp_int) AS BIGINT) AS sum_lp
+  FROM toks JOIN lp USING (tok)
+  GROUP BY {id_col}
+)
+SELECT {id_col}, n_tokens, {nll_final_expr_sql()} AS nll FROM per_doc
+"""
