@@ -929,38 +929,55 @@ def pq_fit_books(X, m: int = PQ_M, ksub: int = PQ_KSUB, n_iter: int = 10, seed: 
     ]
 
 
-def _pq_subspace_d2(Xsub, C):
+def _pq_subspace_d2(Xsub, C, out=None, scratch=None):
     """(n, ksub) squared distances by the SEQUENTIAL per-dim fold —
     acc starts at 0.0 and adds (x_d - c_d)^2 in ascending d, the exact
     float-op order of the oracle's left-associated SQL sum (and of the
     JVM aggregate() fold), so argmin/ADC sums are bit-identical
     cross-engine. The matmul-identity kernel (_chunked_d2) is NOT used
     here: its summation tree differs in the last ulps, and PQ ties are
-    COMMON (duplicate docs share codes), not measure-zero."""
+    COMMON (duplicate docs share codes), not measure-zero.
+
+    `out`/`scratch` are optional (n, ksub) workspaces: hot per-batch
+    callers pass reused blocks (fresh numpy allocations first-touch at
+    ~70 MB/s on this VM; the naive form mints 2 temporaries per dim)."""
     import numpy as np
 
     Xs = np.asarray(Xsub, dtype=np.float64)
     Cs = np.asarray(C, dtype=np.float64)
-    acc = np.zeros((len(Xs), len(Cs)), dtype=np.float64)
+    shape = (len(Xs), len(Cs))
+    acc = out if out is not None else np.empty(shape, dtype=np.float64)
+    acc[:] = 0.0
+    tmp = scratch if scratch is not None else np.empty(shape, dtype=np.float64)
     for d in range(Xs.shape[1]):
-        diff = Xs[:, d : d + 1] - Cs[None, :, d]
-        acc += diff * diff
+        np.subtract(Xs[:, d : d + 1], Cs[None, :, d], out=tmp)
+        tmp *= tmp
+        acc += tmp
     return acc
 
 
-def pq_encode_codes(X, books):
+def pq_encode_codes(X, books, work: dict | None = None):
     """(n, m) int64 codes: per-subspace first-minimal argmin (the
     ROW_NUMBER ... ORDER BY d2, ci rule of every assignment in this
-    module)."""
+    module). `work` is an optional scratch cache a per-batch caller
+    threads through repeated calls to reuse the (n, ksub) workspaces."""
     import numpy as np
 
     X = np.asarray(X, dtype=np.float64)
     m = len(books)
     dsub = X.shape[1] // m
-    codes = np.empty((len(X), m), dtype=np.int64)
+    n, ksub = len(X), len(books[0])
+    codes = np.empty((n, m), dtype=np.int64)
+    d2 = tmp = None
+    if work is not None:
+        d2, tmp = work.get("d2"), work.get("tmp")
+        if d2 is None or d2.shape[0] < n or d2.shape[1] != ksub:
+            d2 = work["d2"] = np.empty((n, ksub), dtype=np.float64)
+            tmp = work["tmp"] = np.empty((n, ksub), dtype=np.float64)
+        d2, tmp = d2[:n], tmp[:n]
     for j in range(m):
-        d2 = _pq_subspace_d2(X[:, j * dsub : (j + 1) * dsub], books[j])
-        codes[:, j] = d2.argmin(axis=1)
+        dj = _pq_subspace_d2(X[:, j * dsub : (j + 1) * dsub], books[j], out=d2, scratch=tmp)
+        codes[:, j] = dj.argmin(axis=1)
     return codes
 
 
@@ -1053,70 +1070,99 @@ def pq_topk(
     B = [b.copy() for b in books]
     kk = k
     # 4096-row chunks bound the (nq, chunk) ADC scratch to a few tens of
-    # MB; the block is allocated ONCE per partition and reused in-place
-    # across chunks (np.take(out=), +=) — fresh large numpy allocations
-    # first-touch at ~MB/s on this VM, and the naive per-subspace
-    # fancy-index (a fresh nq x batch array per j) measured 60+ s for a
-    # 50k-row corpus where the warm-scratch pass takes 0.6 s.
+    # MB; every chunk-sized block is allocated ONCE per partition and
+    # reused in-place across chunks (np.take(out=), +=, np.copyto) —
+    # fresh large numpy allocations first-touch at ~70 MB/s on this VM.
+    # The top-k merge deliberately avoids per-chunk full argsorts: a
+    # per-row in-place partition finds the chunk's kk-th smallest adc
+    # (tie-INCLUSIVE threshold), and only the ~nq*kk surviving candidates
+    # plus the running pool go through an exact (q, adc, id) lexsort.
+    # Any chunk entry in the merged top-kk must be in the chunk's own
+    # lexicographic top-kk, which is a subset of {adc <= chunk kk-th
+    # smallest adc} — so the threshold mask loses nothing, and the pool
+    # stays the true top-kk of everything seen (chunking-invariant).
+    # The previous argsort merge concatenated and double-argsorted a
+    # fresh (nq, chunk+kk) pair per chunk: ~2 GB of first-touched pages
+    # per partition, measured 249-364 s for the 1M-row stage vs this
+    # formulation's bounded buffers.
     PQ_SCAN_CHUNK = 4096
 
     def _scan(batches):
-        best_d = None  # (nq, P) running lexicographic top-P, P = kk
-        best_i = None
+        nq = len(qids)
+        # running pool: exact lexicographic top-kk per query, padded with
+        # (+inf, int64-max) sentinels that lose every finite comparison
+        # and are dropped by the isfinite filter at yield time
+        pool_d = np.full((nq, kk), np.inf)
+        pool_i = np.full((nq, kk), np.iinfo(np.int64).max, dtype=np.int64)
+        pool_q = np.repeat(np.arange(nq), kk)
         adc_buf = None  # (nq, CHUNK) scratch, first-touched once
         tmp_buf = None
+        sel_buf = None
+        mask_buf = None
+        eq_buf = None
+        enc_work: dict = {}  # pq_encode_codes per-chunk workspaces
+        seen = False
         luts = [np.ascontiguousarray(lut[:, j, :]) for j in range(m)]
         for pdf in batches:
             if len(pdf) == 0:
                 continue
+            seen = True
             X = np.asarray(np.stack(pdf[vec_col].to_numpy()), dtype=np.float64)
             nids_all = pdf[id_col].to_numpy(dtype=np.int64)
-            codes_all = pq_encode_codes(X, B)
             for s in range(0, len(X), PQ_SCAN_CHUNK):
-                codes = codes_all[s : s + PQ_SCAN_CHUNK]
+                codes = pq_encode_codes(X[s : s + PQ_SCAN_CHUNK], B, work=enc_work)
                 nids = nids_all[s : s + PQ_SCAN_CHUNK]
+                w = len(nids)
                 if adc_buf is None:
-                    adc_buf = np.empty((len(qids), PQ_SCAN_CHUNK))
-                    tmp_buf = np.empty((len(qids), PQ_SCAN_CHUNK))
-                adc = adc_buf[:, : len(nids)]
-                tmp = tmp_buf[:, : len(nids)]
+                    adc_buf = np.empty((nq, PQ_SCAN_CHUNK))
+                    tmp_buf = np.empty((nq, PQ_SCAN_CHUNK))
+                    sel_buf = np.empty((nq, PQ_SCAN_CHUNK))
+                    mask_buf = np.empty((nq, PQ_SCAN_CHUNK), dtype=bool)
+                    eq_buf = np.empty((nq, PQ_SCAN_CHUNK), dtype=bool)
+                adc = adc_buf[:, :w]
+                tmp = tmp_buf[:, :w]
                 # adc[q, row] = left-assoc sum_j lut[q, j, codes[row, j]]
                 np.take(luts[0], codes[:, 0], axis=1, out=adc)
                 for j in range(1, m):
                     np.take(luts[j], codes[:, j], axis=1, out=tmp)
                     adc += tmp
                 # self-match exclusion
-                self_mask = nids[None, :] == qids[:, None]
+                self_mask = np.equal(nids[None, :], qids[:, None], out=eq_buf[:, :w])
                 if self_mask.any():
                     adc[self_mask] = np.inf
-                cd = adc if best_d is None else np.concatenate([best_d, adc], axis=1)
-                ci = (
-                    np.broadcast_to(nids, adc.shape)
-                    if best_i is None
-                    else np.concatenate(
-                        [best_i, np.broadcast_to(nids, adc.shape)], axis=1
-                    )
-                )
-                # exact (adc, id) lexicographic top-P: two stable argsort
-                # passes (id first, then adc) — ties fully ordered, so the
-                # pool is the true top-P of everything seen so far; a total
-                # order's top-P is chunking-invariant, so per-chunk merging
-                # yields bit-identical output to the whole-batch merge
-                o1 = np.argsort(ci, axis=1, kind="stable")
-                cd = np.take_along_axis(cd, o1, axis=1)
-                ci = np.take_along_axis(ci, o1, axis=1)
-                o2 = np.argsort(cd, axis=1, kind="stable")[:, :kk]
-                best_d = np.take_along_axis(cd, o2, axis=1)
-                best_i = np.take_along_axis(ci, o2, axis=1)
-        if best_d is None:
+                # per-row kk-th smallest adc, via in-place partition of a
+                # reused copy (np.partition would allocate a fresh block)
+                sel = sel_buf[:, :w]
+                np.copyto(sel, adc)
+                kth = min(kk, w) - 1
+                sel.partition(kth, axis=1)
+                thresh = sel[:, kth]
+                mask = mask_buf[:, :w]
+                np.less_equal(adc, thresh[:, None], out=mask)
+                rows, cols = np.nonzero(mask)
+                # merge pool + candidates: exact (q, adc, id) lexsort of a
+                # ~2*nq*kk-entry list, then first kk per query group
+                cd = np.concatenate([pool_d.ravel(), adc[rows, cols]])
+                ci = np.concatenate([pool_i.ravel(), nids[cols]])
+                cq = np.concatenate([pool_q, rows])
+                order = np.lexsort((ci, cd, cq))
+                cq_s = cq[order]
+                first = np.searchsorted(cq_s, np.arange(nq), side="left")
+                ranks = np.arange(len(cq_s)) - first[cq_s]
+                keepm = ranks < kk
+                # every query holds >= kk pool entries, so exactly kk
+                # survive per group and the q-major reshape is aligned
+                pool_d = cd[order][keepm].reshape(nq, kk)
+                pool_i = ci[order][keepm].reshape(nq, kk)
+        if not seen:
             return
-        keep = np.isfinite(best_d)
-        qcol = np.broadcast_to(qids[:, None], best_d.shape)
+        keep = np.isfinite(pool_d)
+        qcol = np.broadcast_to(qids[:, None], pool_d.shape)
         yield pd.DataFrame(
             {
                 "query_id": qcol[keep],
-                "neighbor_id": best_i[keep],
-                "adc": best_d[keep],
+                "neighbor_id": pool_i[keep],
+                "adc": pool_d[keep],
             }
         )
 

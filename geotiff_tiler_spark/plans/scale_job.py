@@ -138,7 +138,12 @@ def synth_embeddings(spark: SparkSession, n: int, dim: int | None = None):
     return df.select("vec_id", emb.alias("embedding"))
 
 
-def run_ivf_stage(spark: SparkSession, n_rows: int = 1_000_000, query_mod: int = 1000) -> dict:
+def run_ivf_stage(
+    spark: SparkSession,
+    n_rows: int = 1_000_000,
+    query_mod: int = 1000,
+    persist: bool = True,
+) -> dict:
     """Measured number for the >64-list IVF branch (round-3 VERDICT task 6):
     at n_rows >= 1 M the adaptive list count is 4*sqrt(n) = 4000 > 64, so
     ivf_assign and the query probes take the broadcast-numpy Arrow-UDF
@@ -159,8 +164,14 @@ def run_ivf_stage(spark: SparkSession, n_rows: int = 1_000_000, query_mod: int =
     VM's allocator, not the operator."""
     from geotiff_tiler_spark.operators import similarity
 
-    emb = synth_embeddings(spark, n_rows).persist()
-    emb.count()  # materialize: stage times the IVF work, not the generator
+    emb = synth_embeddings(spark, n_rows)
+    if persist:
+        # cache the corpus; with persist=False every consumer recomputes
+        # the pure-codegen generator instead of deserializing wide array
+        # rows from storage (an A/B knob: on this VM the cache READ of
+        # 1M x 64-double rows can cost more than regenerating them)
+        emb = emb.persist()
+        emb.count()  # materialize: stage times the IVF work, not the generator
     t0 = time.time()
     nlist = similarity.adaptive_ivf_clusters(n_rows)
     cent = similarity.train_ivf_centroids(emb, n_clusters=nlist)
@@ -173,7 +184,8 @@ def run_ivf_stage(spark: SparkSession, n_rows: int = 1_000_000, query_mod: int =
     n_out = topk.count()
     t1 = time.time()
     sec = round(t1 - t0, 2)
-    emb.unpersist()
+    if persist:
+        emb.unpersist()
     return {
         "n_rows": n_rows,
         "nlist": nlist,
@@ -186,7 +198,12 @@ def run_ivf_stage(spark: SparkSession, n_rows: int = 1_000_000, query_mod: int =
     }
 
 
-def run_pq_stage(spark: SparkSession, n_rows: int = 1_000_000, query_mod: int = 1000) -> dict:
+def run_pq_stage(
+    spark: SparkSession,
+    n_rows: int = 1_000_000,
+    query_mod: int = 1000,
+    persist: bool = True,
+) -> dict:
     """Measured number for the PQ (product-quantization) ANN path at the
     same 1M-row scale as run_ivf_stage — the compressed-corpus
     alternative: the corpus never materializes a float index at all; one
@@ -201,8 +218,14 @@ def run_pq_stage(spark: SparkSession, n_rows: int = 1_000_000, query_mod: int = 
               (n_partitions x k rows per query)."""
     from geotiff_tiler_spark.operators import similarity
 
-    emb = synth_embeddings(spark, n_rows).persist()
-    emb.count()  # materialize: stage times the PQ work, not the generator
+    emb = synth_embeddings(spark, n_rows)
+    if persist:
+        # same A/B knob as run_ivf_stage: on this VM the cache READ of
+        # 1M x 64-double rows can cost more than regenerating the
+        # pure-codegen synth per consumer (3 consumers here: training
+        # sample, query fetch, the single corpus scan)
+        emb = emb.persist()
+        emb.count()  # materialize: stage times the PQ work, not the generator
     t0 = time.time()
     books = similarity.pq_train_codebooks(emb)
     t_train = time.time()
@@ -210,7 +233,8 @@ def run_pq_stage(spark: SparkSession, n_rows: int = 1_000_000, query_mod: int = 
     n_out = topk.count()
     t1 = time.time()
     sec = round(t1 - t0, 2)
-    emb.unpersist()
+    if persist:
+        emb.unpersist()
     return {
         "n_rows": n_rows,
         "m": similarity.PQ_M,

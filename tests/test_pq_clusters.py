@@ -93,6 +93,52 @@ def test_pq_encode_packs_codes(spark):
         assert packed[int(vid)] == want
 
 
+def test_pq_topk_multichunk_ties_match_bruteforce(spark):
+    """9,000 rows in ONE partition cross the 4096-row PQ_SCAN_CHUNK
+    boundary twice, and 37 distinct vectors repeated ~240x each make
+    ADC ties the norm — so the chunk-threshold merge (tie-inclusive
+    partition + candidate lexsort) must carry tied candidates across
+    chunk boundaries to stay exact. Verified against a whole-corpus
+    numpy lexicographic oracle and against a different partitioning."""
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(37, 16)
+    n = 9000
+    ids = np.arange(n, dtype=np.int64)
+    X = base[ids % 37]
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    emb = spark.createDataFrame(pdf).coalesce(1)
+    books = similarity.pq_fit_books(X, m=4, ksub=4, n_iter=4, seed=3)
+    out = similarity.pq_topk(
+        emb, k=5, query_mod=450, m=4, ksub=4, books=books
+    ).orderBy("query_id", "rank")
+    got = [(r.query_id, r.rank, r.neighbor_id, r.adc) for r in out.collect()]
+
+    codes = similarity.pq_encode_codes(X, books)
+    want = []
+    for qi in np.nonzero(ids % 450 == 0)[0]:
+        lut = [
+            similarity._pq_subspace_d2(X[qi : qi + 1, j * 4 : (j + 1) * 4], books[j])[0]
+            for j in range(4)
+        ]
+        adc = np.zeros(n)
+        for j in range(4):
+            adc = adc + lut[j][codes[:, j]]
+        cand = sorted(
+            ((float(adc[i]), int(ids[i])) for i in range(n) if i != qi)
+        )[:5]
+        want.extend((int(ids[qi]), r + 1, nid, d) for r, (d, nid) in enumerate(cand))
+    assert got == want
+
+    b = similarity.pq_topk(
+        emb.repartition(7), k=5, query_mod=450, m=4, ksub=4, books=books
+    )
+    assert sorted(map(tuple, b.collect())) == sorted(
+        (q, r, nid, d) for q, r, nid, d in got
+    )
+
+
 def _py_components(edges):
     """Union-find oracle: {node: min id of its component}."""
     parent = {}

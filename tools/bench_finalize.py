@@ -16,6 +16,44 @@ import os
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _ann_sections() -> list[str]:
+    """IVF + PQ 1M-row stage evidence: per-field minima over the exclusive
+    local[32] samples (the same estimator as the scale workload), with
+    sample counts and the steal% of the best run for provenance."""
+    out: list[str] = []
+    for name, fname, extra in (
+        ("IVF ANN stage (1M rows, 4000 lists, nprobe=2)", "ivf_samples.jsonl", "nlist"),
+        ("PQ ANN stage (1M rows, m=8 x ksub=16 codes)", "pq_samples.jsonl", "m"),
+    ):
+        path = os.path.join(REPO, "BENCH", fname)
+        try:
+            with open(path) as fh:
+                recs = [json.loads(l) for l in fh if l.strip()]
+        except OSError:
+            continue
+        recs = [r for r in recs if r.get("cpus") == 32 and r.get("n_rows") == 1_000_000]
+        if not recs:
+            continue
+        rows = {r["topk_rows"] for r in recs}
+        assert len(rows) == 1, (fname, "output parity violated", rows)
+        best = min(recs, key=lambda r: r["sec"])
+        out += [
+            "",
+            f"## {name}",
+            "",
+            f"Best of {len(recs)} exclusive local[32] samples "
+            f"(BENCH/{fname}); per-field minima:",
+            "",
+            "| total sec (best run) | train sec | topk sec | rows/sec | topk rows | best-run steal% |",
+            "|---|---|---|---|---|---|",
+            f"| {best['sec']} | {min(r['sec_train'] for r in recs)} "
+            f"| {min(r['sec_topk'] for r in recs)} "
+            f"| {max(r['rows_per_sec'] for r in recs)} | {best['topk_rows']} "
+            f"| {best.get('steal_pct', 'n/a')} |",
+        ]
+    return out
+
+
 def main() -> None:
     with open(os.path.join(REPO, "BENCH", "samples.jsonl")) as fh:
         samples = [json.loads(l) for l in fh if l.strip()]
@@ -96,6 +134,7 @@ def main() -> None:
         "the UNTIMED generation phase. All four output parity keys are",
         "unchanged from rounds 2-3 and asserted across every sample above.",
     ]
+    lines += _ann_sections()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
