@@ -30,6 +30,7 @@ from geotiff_tiler_spark.operators import (
     similarity,
     skew,
     spatial_join,
+    temporal,
     tiling,
 )
 from geotiff_tiler_spark.sources import labels
@@ -840,6 +841,91 @@ def q47_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.unigram_nll(_docs(spark, sf_dir))
 
 
+def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (temporal.asof_join): every click event gets
+    the latest prior-or-equal view of the same user — view id, value, and
+    the exact microsecond lag. The point-in-time log-enrichment join
+    (leakage-free feature attribution). Spark side: union-tag + running
+    last(ignorenulls) window — ONE shuffle by user, no inequality cross
+    product; the oracle is the independent max_by-over-[ts, id] inequality
+    join formulation, so ties in event time are proven to resolve
+    identically (lexicographic max) in both engines."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        # parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the LTZ cast is
+        # epoch-identity and unix_micros matches DuckDB epoch_us(ts)
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_us"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("click_id"),  # tie/order col name shared
+        "user_id",
+        "ts_us",
+        F.col("event_id").alias("view_id"),
+        F.col("value").alias("view_value"),
+        F.col("ts_us").alias("view_ts_us"),
+    )
+    j = temporal.asof_join(
+        clicks,
+        views,
+        keys=["user_id"],
+        ord_col="ts_us",
+        tie_col="click_id",
+        carry=["view_id", "view_value", "view_ts_us"],
+        prefix="",
+    )
+    return j.select(
+        "click_id",
+        "user_id",
+        "view_id",
+        F.round(F.col("view_value"), 6).alias("view_value"),
+        (F.col("ts_us") - F.col("view_ts_us")).alias("lag_us"),
+    )
+
+
+# q49's attribution window: 10 minutes in microseconds, interpolated into
+# BOTH the Spark plan and the DuckDB oracle (cross-engine constant rule)
+Q49_WINDOW_US = 600_000_000
+
+
+def q49_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal range join (temporal.interval_join): clicks landing inside
+    a 10-minute error window of the same user — the attribution/blast-
+    radius join. Spark side: the 1D grid-cell pattern (intervals replicate
+    to the <= 2 cells they cover, points live in ONE cell, equi-join +
+    refine, NO output dedup — same invariant as the point-in-box join);
+    oracle: the plain inequality join DuckDB can afford at contract scale.
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        # parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the LTZ cast is
+        # epoch-identity and unix_micros matches DuckDB epoch_us(ts)
+        "ts_us", F.unix_micros(F.col("ts").cast("timestamp_ltz"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", "ts_us"
+    )
+    errs = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"),
+        "user_id",
+        F.col("ts_us").alias("lo_us"),
+        (F.col("ts_us") + F.lit(Q49_WINDOW_US)).alias("hi_us"),
+    )
+    pairs = temporal.interval_join(
+        clicks,
+        errs,
+        keys=["user_id"],
+        point_ord="ts_us",
+        lo_col="lo_us",
+        hi_col="hi_us",
+        cell_width=Q49_WINDOW_US,
+    )
+    return pairs.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.min("error_id").alias("first_error_id"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -910,6 +996,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q45_dup_clusters": q45_dup_clusters,
         "q46_bm25_topk": q46_bm25_topk,
         "q47_unigram_nll": q47_unigram_nll,
+        "q48_asof_join": q48_asof_join,
+        "q49_interval_join": q49_interval_join,
     }
 
 
@@ -1463,6 +1551,43 @@ FROM groups GROUP BY dup_cnt
         "q45_dup_clusters": _q45_oracle(),
         "q46_bm25_topk": rank.bm25_topk_sql(),
         "q47_unigram_nll": rank.unigram_nll_sql(),
+        # q48: INDEPENDENT formulation — the Spark side is a union-tag +
+        # running last(ignorenulls) window (one shuffle, no cross
+        # product); the oracle is the naive inequality join with a
+        # lexicographic (ts_us, view_id) argmax (HUGEINT composite key:
+        # view_id < 2^32 at every contract sf). Agreement proves the
+        # window formulation implements prior-or-equal max semantics,
+        # ties included. LEFT JOIN keeps never-viewed clicks (NULL
+        # carries), matching the window's empty-prefix NULLs.
+        "q48_asof_join": """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events
+),
+clicks AS (SELECT event_id AS click_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+views AS (SELECT event_id AS view_id, user_id, ts_us, value FROM ev WHERE event_type = 'view')
+SELECT c.click_id, c.user_id,
+       max_by(v.view_id, CAST(v.ts_us AS HUGEINT) * 4294967296 + v.view_id) AS view_id,
+       ROUND(max_by(v.value, CAST(v.ts_us AS HUGEINT) * 4294967296 + v.view_id), 6) AS view_value,
+       c.ts_us - max_by(v.ts_us, CAST(v.ts_us AS HUGEINT) * 4294967296 + v.view_id) AS lag_us
+FROM clicks c LEFT JOIN views v ON c.user_id = v.user_id AND v.ts_us <= c.ts_us
+GROUP BY c.click_id, c.user_id, c.ts_us
+""",
+        # q49: the plain inequality join DuckDB can afford at contract
+        # scale; the Spark side is the 1D grid-cell candidate join + refine
+        "q49_interval_join": f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us FROM events
+),
+clicks AS (SELECT event_id AS click_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+errs AS (
+  SELECT event_id AS error_id, user_id, ts_us AS lo_us, ts_us + {Q49_WINDOW_US} AS hi_us
+  FROM ev WHERE event_type = 'error'
+)
+SELECT c.click_id, COUNT(*) AS n_windows, MIN(e.error_id) AS first_error_id
+FROM clicks c JOIN errs e
+  ON c.user_id = e.user_id AND c.ts_us >= e.lo_us AND c.ts_us <= e.hi_us
+GROUP BY c.click_id
+""",
         "q12_simhash": r"""
 SELECT doc_id,
        CAST(CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 64) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 64 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 128) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 128 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 256) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 256 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 512) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 512 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1024) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1024 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2048) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2048 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4096) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4096 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8192) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8192 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16384) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16384 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32768) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32768 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 65536) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 65536 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 131072) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 131072 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 262144) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 262144 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 524288) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 524288 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1048576) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1048576 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2097152) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2097152 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4194304) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4194304 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8388608) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8388608 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16777216) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16777216 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 33554432) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 33554432 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 67108864) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 67108864 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 134217728) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 134217728 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 268435456) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 268435456 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 536870912) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 536870912 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1073741824) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1073741824 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2147483648) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2147483648 ELSE 0 END AS BIGINT) AS simhash,
