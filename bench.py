@@ -51,6 +51,8 @@ HEADLINE = [
     "q45_dup_clusters",
     "q46_bm25_topk",
     "q47_unigram_nll",
+    "q48_asof_join",
+    "q49_interval_join",
 ]
 
 
