@@ -117,6 +117,18 @@ def test_interval_join_matches_brute_across_boundaries(spark):
     assert len(got) == len(set(got))
 
 
+def test_asof_join_single_shuffle_plan(spark):
+    # the whole point of the union+window formulation: ONE exchange (hash
+    # by key), zero joins — never an inequality cross product
+    l = spark.createDataFrame([(1, 5, 1)], "user_id long, ts long, lid long")
+    r = spark.createDataFrame([(1, 3, 2, 1.0)], "user_id long, ts long, lid long, v double")
+    plan = temporal.asof_join(
+        l, r, keys=["user_id"], ord_col="ts", tie_col="lid", carry=["v"], prefix=""
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan and "CartesianProduct" not in plan, plan
+
+
 def test_interval_join_no_dedup_needed_plan(spark):
     # the physical plan must contain no aggregate above the join other
     # than what the caller adds — the operator itself emits raw pairs
