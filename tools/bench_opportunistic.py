@@ -19,6 +19,7 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 LOAD_THRESHOLD = 0.6
+STEAL_THRESHOLD_PCT = 1.5
 
 
 def main() -> None:
@@ -31,10 +32,23 @@ def main() -> None:
     deadline = time.time() + max_minutes * 60
     plan = cycle * per_level
     taken = 0
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    from steal import read_cpu, steal_pct
+
     while plan and time.time() < deadline:
         load = os.getloadavg()[0]
         if load >= LOAD_THRESHOLD:
             time.sleep(45)
+            continue
+        # loadavg can't see hypervisor steal: probe it over 8 s and skip
+        # the window if another VM is eating the cores (measured 3-9%
+        # steal windows produce 2-5x-inflated samples)
+        c0 = read_cpu()
+        time.sleep(8)
+        st = steal_pct(c0, read_cpu())
+        if st is not None and st >= STEAL_THRESHOLD_PCT:
+            print(f"steal {st}% >= {STEAL_THRESHOLD_PCT}%: waiting", flush=True)
+            time.sleep(60)
             continue
         item = plan.pop(0)
         if item.startswith("h"):
