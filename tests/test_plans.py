@@ -203,7 +203,7 @@ def test_ivf_topk_broadcasts_probes_and_evals_assign_once(spark):
 
 
 def test_pq_topk_final_window_input_is_bounded(spark):
-    """q44's final window must rank ONLY the mapInPandas partial top-k
+    """q44's final window must rank ONLY the mapInArrow partial top-k
     output (n_partitions x k rows per query) — the plan's window sits
     directly above the Python scan stage, and no corpus-sized join or
     explode feeds it."""
@@ -212,8 +212,9 @@ def test_pq_topk_final_window_input_is_bounded(spark):
 
     tk = similarity.pq_topk(emb, k=3, query_mod=40)
     plan = _plan(tk)
-    # one Python corpus pass, no join anywhere in the query
-    assert plan.count("MapInPandas") == 1, plan
+    # one Python corpus pass (Arrow-native, no pandas conversion), no
+    # join anywhere in the query
+    assert plan.count("MapInArrow") == 1, plan
     assert "Join" not in plan, plan
     # the window ranks the Python stage's bounded output (an exchange on
     # query_id between them is fine - it moves partitions x k rows)
