@@ -138,11 +138,51 @@ def synth_embeddings(spark: SparkSession, n: int, dim: int | None = None):
     return df.select("vec_id", emb.alias("embedding"))
 
 
+def _warm_session(spark, warm_rows: int = 50_000) -> None:
+    """Untimed JVM/worker warmup for the similarity stage runners — the
+    exact analog of ``bench.run_headline``'s warmup queries, scaled to the
+    operators these stages exercise. A COLD local session pays one-time
+    costs that are NOT the operator's: Janino compilation + JIT of the
+    wide flat-expression codegen methods, the spawn + numpy import of all
+    32 Python UDF workers, and — dominant on this VM, where fresh pages
+    first-touch at ~70 MB/s — the first commit of JVM heap/Arrow/shuffle
+    memory. Profiled at 1M rows: the identical topk plan runs 26-50 s on
+    first execution and ~10 s on the next, same session, same data, steal
+    < 2% throughout. A long-running cluster executor (the thing the 100-TB
+    number predicts) is always warm, so the stage runners warm up on a
+    small slice (5% of the corpus, full operator chain: UDF assign +
+    probes join + cosine + window) and start the clock after."""
+    from geotiff_tiler_spark.operators import similarity
+
+    wemb = synth_embeddings(spark, warm_rows)
+    wcent = similarity.train_ivf_centroids(
+        wemb, n_clusters=96, sample=2048
+    )  # >64 lists: same Arrow-UDF branch as the measured stage
+    similarity.ivf_topk(
+        wemb, k=5, query_mod=warm_rows // 50, n_clusters=96, nprobe=2,
+        n=warm_rows, centroids=wcent,
+    ).count()
+
+
+def _warm_session_pq(spark, warm_rows: int = 50_000) -> None:
+    """PQ twin of _warm_session: same one-time costs, exercised through
+    the PQ operators (codebook train + the mapInArrow corpus scan +
+    bounded final window) on a 5% slice, untimed."""
+    from geotiff_tiler_spark.operators import similarity
+
+    wemb = synth_embeddings(spark, warm_rows)
+    wbooks = similarity.pq_train_codebooks(wemb, sample=2048)
+    similarity.pq_topk(
+        wemb, k=5, query_mod=warm_rows // 50, books=wbooks
+    ).count()
+
+
 def run_ivf_stage(
     spark: SparkSession,
     n_rows: int = 1_000_000,
     query_mod: int = 1000,
-    persist: bool = True,
+    persist: bool = False,
+    warm: bool = True,
 ) -> dict:
     """Measured number for the >64-list IVF branch (round-3 VERDICT task 6):
     at n_rows >= 1 M the adaptive list count is 4*sqrt(n) = 4000 > 64, so
@@ -156,22 +196,27 @@ def run_ivf_stage(
               re-evaluating the UDF below the join's isnotnull filter)
               feeding the probe join (probes force-broadcast: the corpus
               never moves) + flat-expression cosine + per-query window.
+    One-time session warmup (JIT, worker spawn, heap first-touch) runs
+    UNTIMED on a 50k slice first — see _warm_session; run_headline does
+    the same for the sf0.1 suite.
+
     The index is deliberately NOT persisted/written here: on this VM
-    caching 1M deserialized array rows costs 120-160 s and a parquet
-    write ~40 s, while the fused recompute inside the probe query is
-    ~7 s — at 100 TB the index IS written (similarity.ivf_write_index:
-    cluster-partitioned parquet, probe scans dynamic-partition-pruned), but local-mode storage would measure the
-    VM's allocator, not the operator."""
+    caching 1M deserialized array rows costs 120-160 s to materialize and
+    the cache READ of wide array rows is slower than regenerating the
+    pure-codegen generator (profiled: the one-pass index build reads
+    0.8 s unpersisted vs 1.6 s from cache), so persist defaults to
+    False — kept as an A/B knob. At 100 TB the index IS written
+    (similarity.ivf_write_index: cluster-partitioned parquet, probe scans
+    dynamic-partition-pruned); local-mode storage would measure the VM's
+    allocator, not the operator."""
     from geotiff_tiler_spark.operators import similarity
 
     emb = synth_embeddings(spark, n_rows)
     if persist:
-        # cache the corpus; with persist=False every consumer recomputes
-        # the pure-codegen generator instead of deserializing wide array
-        # rows from storage (an A/B knob: on this VM the cache READ of
-        # 1M x 64-double rows can cost more than regenerating them)
         emb = emb.persist()
         emb.count()  # materialize: stage times the IVF work, not the generator
+    if warm:
+        _warm_session(spark)
     t0 = time.time()
     nlist = similarity.adaptive_ivf_clusters(n_rows)
     cent = similarity.train_ivf_centroids(emb, n_clusters=nlist)
@@ -195,6 +240,8 @@ def run_ivf_stage(
         "sec_topk": round(t1 - t_train, 2),
         "sec": sec,
         "rows_per_sec": round(n_rows / sec, 1) if sec > 0 else None,
+        "persist": persist,
+        "warm": warm,
     }
 
 
@@ -202,7 +249,8 @@ def run_pq_stage(
     spark: SparkSession,
     n_rows: int = 1_000_000,
     query_mod: int = 1000,
-    persist: bool = True,
+    persist: bool = False,
+    warm: bool = True,
 ) -> dict:
     """Measured number for the PQ (product-quantization) ANN path at the
     same 1M-row scale as run_ivf_stage — the compressed-corpus
@@ -215,17 +263,19 @@ def run_pq_stage(
               (m=8 subspaces x ksub=16 centroids x 8 dims: ~100x less
               driver arithmetic than IVF's 4000-list k-means);
       topk  — the single corpus pass + the bounded final window
-              (n_partitions x k rows per query)."""
+              (n_partitions x k rows per query).
+    One-time session warmup (JIT, worker spawn, heap first-touch) runs
+    UNTIMED on a 50k slice first — see _warm_session_pq; persist defaults
+    to False for the same measured reason as run_ivf_stage (cache READ of
+    wide array rows loses to regenerating the pure-codegen synth)."""
     from geotiff_tiler_spark.operators import similarity
 
     emb = synth_embeddings(spark, n_rows)
     if persist:
-        # same A/B knob as run_ivf_stage: on this VM the cache READ of
-        # 1M x 64-double rows can cost more than regenerating the
-        # pure-codegen synth per consumer (3 consumers here: training
-        # sample, query fetch, the single corpus scan)
         emb = emb.persist()
         emb.count()  # materialize: stage times the PQ work, not the generator
+    if warm:
+        _warm_session_pq(spark)
     t0 = time.time()
     books = similarity.pq_train_codebooks(emb)
     t_train = time.time()
@@ -244,4 +294,6 @@ def run_pq_stage(
         "sec_topk": round(t1 - t_train, 2),
         "sec": sec,
         "rows_per_sec": round(n_rows / sec, 1) if sec > 0 else None,
+        "persist": persist,
+        "warm": warm,
     }
