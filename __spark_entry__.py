@@ -926,6 +926,16 @@ def q49_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q50_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy single-pass LSH dedup-keep (dedup.lsh_greedy_keep): per
+    (band, bucket) the smallest-id doc claims the bucket; kept = docs
+    claiming ALL their bands. The O(corpus) curation decision — no
+    candidate-pair materialization at any point (vs the q11/q45 pairwise
+    chain) — and the batch twin of the streaming near-dup operator
+    (streaming/ingest.streaming_neardup_keep)."""
+    return dedup.lsh_greedy_keep(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -998,6 +1008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q47_unigram_nll": q47_unigram_nll,
         "q48_asof_join": q48_asof_join,
         "q49_interval_join": q49_interval_join,
+        "q50_lsh_keep": q50_lsh_keep,
     }
 
 
@@ -1587,6 +1598,13 @@ SELECT c.click_id, COUNT(*) AS n_windows, MIN(e.error_id) AS first_error_id
 FROM clicks c JOIN errs e
   ON c.user_id = e.user_id AND c.ts_us >= e.lo_us AND c.ts_us <= e.hi_us
 GROUP BY c.click_id
+""",
+        # q50: shared-formula CTEs (minhash_sql_cols/lsh_bucket_sql via
+        # dedup.lsh_greedy_keep_ctes) — the same window-min + all-bands-won
+        # formulation DuckDB-side
+        "q50_lsh_keep": f"""
+WITH {dedup.lsh_greedy_keep_ctes()}
+SELECT doc_id FROM kept
 """,
         "q12_simhash": r"""
 SELECT doc_id,

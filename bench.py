@@ -53,6 +53,7 @@ HEADLINE = [
     "q47_unigram_nll",
     "q48_asof_join",
     "q49_interval_join",
+    "q50_lsh_keep",
 ]
 
 

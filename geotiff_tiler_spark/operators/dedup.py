@@ -183,14 +183,19 @@ def _minhash_signature_exploded(
 
 
 def lsh_buckets(
-    sigs: DataFrame, bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+    sigs: DataFrame,
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Band the signature: bucket key = portable hash of the band's values.
 
-    Output: (doc_id, band, bucket) — `bands` rows per doc via ONE
-    posexplode over an array of band keys (a union of per-band projections
-    would recompute the signature subtree once per band and defeat
-    exchange reuse in the self-join downstream)."""
+    Output: (doc_id, *extra_cols, band, bucket) — `bands` rows per doc via
+    ONE posexplode over an array of band keys (a union of per-band
+    projections would recompute the signature subtree once per band and
+    defeat exchange reuse in the self-join downstream). `extra_cols` lets
+    streaming callers carry the event-time column through to the
+    watermark-bounded dedup."""
     keys = []
     for b in range(bands):
         cols = [F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -200,7 +205,7 @@ def lsh_buckets(
             ).cast("bigint")
         )
     return sigs.select(
-        "doc_id", F.posexplode(F.array(*keys)).alias("band", "bucket")
+        "doc_id", *extra_cols, F.posexplode(F.array(*keys)).alias("band", "bucket")
     )
 
 
@@ -221,6 +226,80 @@ def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
         )
         .distinct()
     )
+
+
+def lsh_greedy_keep(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+) -> DataFrame:
+    """Greedy single-pass LSH dedup-keep: per (band, bucket) the
+    smallest-id doc claims the bucket; a doc is KEPT iff it claims every
+    one of its bands. Any dropped doc shares at least one full band — a
+    likely near-duplicate — with a kept doc.
+
+    This is the curation decision production crawls make when the
+    pairwise refine is unaffordable: unlike the candidate-pair chain
+    (lsh_candidate_pairs -> ngram_jaccard_pairs, which is
+    O(sum bucket^2) in the worst case), greedy keep is O(corpus x bands)
+    END TO END — one shuffle by (band, bucket) for the bucket-min window
+    (bucket cardinality ~ corpus size, so partitions stay tiny; only
+    true-duplicate mega-buckets skew, and those rows ARE the signal) and
+    one map-side-combined all-bands-won aggregate by doc. No pair
+    materialization at any point, so a 10^12-doc corpus with a 30%
+    duplicate rate costs the same as a clean one.
+
+    Streaming twin: streaming/ingest.streaming_neardup_keep — identical
+    band machinery, first-ARRIVAL-wins instead of min-id (the orders
+    coincide when arrival follows doc_id). Reference parity: the
+    keep-one-discard-rest rule mirrors the reference's duplicate-patch
+    discard (tiler.py dedup of already-written tiles), lifted from exact
+    key equality to MinHash similarity."""
+    from pyspark.sql.window import Window
+
+    sigs = minhash_signature(docs.select(id_col, text_col), text_col=text_col)
+    b = lsh_buckets(sigs, bands, rows_per_band)
+    bucket_min = F.min(id_col).over(Window.partitionBy("band", "bucket"))
+    won = b.withColumn("_won", (F.col(id_col) == bucket_min).cast("int"))
+    return (
+        won.groupBy(id_col)
+        .agg(F.min("_won").alias("_all_won"))
+        .filter(F.col("_all_won") == 1)
+        .select(id_col)
+    )
+
+
+def lsh_greedy_keep_ctes(
+    table: str = "documents", bands: int = BANDS, rows_per_band: int = ROWS_PER_BAND
+) -> str:
+    """DuckDB twin CTE chain of `lsh_greedy_keep` (shared-formula rule:
+    both engines derive buckets from minhash_sql_cols/lsh_bucket_sql).
+    Yields a `kept` CTE of doc_ids."""
+    sig_cols = ",\n         ".join(minhash_sql_cols())
+    bands_union = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {b} AS band, {lsh_bucket_sql(b, rows_per_band)} AS bucket"
+        f" FROM gk_sigs"
+        for b in range(bands)
+    )
+    return f"""gk_sigs AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM {table}
+),
+gk_buckets AS (
+{bands_union}
+),
+gk_won AS (
+  SELECT doc_id,
+         CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY band, bucket)
+              THEN 1 ELSE 0 END AS won
+  FROM gk_buckets
+),
+kept AS (
+  SELECT doc_id FROM gk_won GROUP BY doc_id HAVING MIN(won) = 1
+)"""
 
 
 def ngram_jaccard_pairs(

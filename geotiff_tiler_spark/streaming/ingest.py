@@ -115,6 +115,58 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_neardup_keep(
+    pages: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "warc_ts",
+    watermark: str = "30 minutes",
+    window_size: str = "1 hour",
+    bands: int | None = None,
+    rows_per_band: int | None = None,
+) -> DataFrame:
+    """Streaming NEAR-dup keep: the greedy LSH dedup
+    (`dedup.lsh_greedy_keep`) as a continuous-crawl operator, built from
+    chained built-in stateful operators (Spark >= 3.5 multi-stateful
+    append mode) — no custom state code:
+
+      1. MinHash signature + LSH band buckets (pure map, the exact batch
+         expressions; the event-time column rides through via
+         lsh_buckets(extra_cols));
+      2. first-ARRIVAL-wins per (band, bucket):
+         `dropDuplicatesWithinWatermark` — state bounded by the horizon;
+      3. a doc is emitted as KEPT iff all `bands` of its band rows
+         survived step 2 — a windowed per-doc count (a doc has ONE event
+         time, so its rows share one window), emitted when the watermark
+         closes the window.
+
+    Batch parity: when arrival order follows doc_id, the kept set equals
+    `lsh_greedy_keep` over the at-rest table (asserted in
+    test_streaming_multimodal). Same bounded-state caveat as
+    streaming_exact_dedup: near-dups separated by more than the horizon
+    are not collapsed; the batch operator over the at-rest table is the
+    exactness baseline."""
+    from geotiff_tiler_spark.operators import dedup
+
+    bands = bands if bands is not None else dedup.BANDS
+    rows_per_band = (
+        rows_per_band if rows_per_band is not None else dedup.ROWS_PER_BAND
+    )
+    sigs = dedup.minhash_signature(
+        pages.select(id_col, ts_col, text_col), text_col=text_col
+    )
+    b = dedup.lsh_buckets(sigs, bands, rows_per_band, extra_cols=(ts_col,))
+    first = b.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band", "bucket"]
+    )
+    return (
+        first.groupBy(F.window(ts_col, window_size), F.col(id_col))
+        .agg(F.count(F.lit(1)).alias("bands_won"))
+        .filter(F.col("bands_won") == bands)
+        .select(id_col)
+    )
+
+
 def stateful_image_stats(
     pages: DataFrame,
     params: TilingParams,

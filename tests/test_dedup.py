@@ -143,3 +143,49 @@ def test_repetition_metrics_edge_cases(spark):
     assert (rows[4].n_tokens, rows[4].top_cnt, rows[4].dup_frac) == (0, 0, 0.0)
     assert rows[5].n_tokens in (0, None) or rows[5].top_cnt in (0, None)
     assert (rows[6].n_tokens, rows[6].top_cnt) == (2, 2)
+
+
+def py_lsh_bucket(sig, band, rows_per_band=4):
+    s = "_".join(
+        str(sig[band * rows_per_band + r]) for r in range(rows_per_band)
+    )
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_lsh_greedy_keep_matches_python(spark):
+    """Greedy single-pass LSH keep vs a pure-Python fold: per (band,
+    bucket) the min doc_id claims; kept iff all bands claimed. Mix of
+    exact dups, near dups, uniques, and degenerate texts."""
+    base = " ".join(f"w{i % 13} t{i % 7}" for i in range(30))
+    texts = {
+        0: base,
+        1: base + " tail",       # near dup of 0
+        2: base,                 # exact dup of 0: must be dropped
+        3: " ".join(f"z{i}" for i in range(40)),  # unique
+        4: "",                   # empty -> sentinel signature
+        5: "",                   # second empty: collides with 4, dropped
+        6: "one two",            # < k tokens -> sentinel too: dropped
+    }
+    df = spark.createDataFrame(sorted(texts.items()), ["doc_id", "text"])
+    kept = {r.doc_id for r in dedup.lsh_greedy_keep(df).collect()}
+
+    sigs = {
+        d: [py_minhash(t, i) for i in range(dedup.NUM_HASHES)]
+        for d, t in texts.items()
+    }
+    bucket_min = {}
+    for d, sig in sigs.items():
+        for b in range(dedup.BANDS):
+            key = (b, py_lsh_bucket(sig, b, dedup.ROWS_PER_BAND))
+            bucket_min[key] = min(bucket_min.get(key, d), d)
+    kept_py = {
+        d
+        for d, sig in sigs.items()
+        if all(
+            bucket_min[(b, py_lsh_bucket(sig, b, dedup.ROWS_PER_BAND))] == d
+            for b in range(dedup.BANDS)
+        )
+    }
+    assert kept == kept_py
+    assert 2 not in kept and 5 not in kept and 6 not in kept  # dup chains
+    assert 0 in kept and 3 in kept

@@ -265,3 +265,18 @@ def test_written_ivf_index_scan_is_partition_pruned(spark, tmp_path_factory):
         centroids=cent, index=similarity.ivf_build_index(emb, cent),
     )
     assert sorted(map(tuple, tk.collect())) == sorted(map(tuple, mem.collect()))
+
+
+def test_lsh_greedy_keep_has_no_join(spark):
+    """q50's scale contract: greedy LSH keep is O(corpus x bands) — one
+    window shuffle by (band, bucket) + one agg by doc — and must never
+    materialize candidate pairs: NO join of any kind in the plan (the
+    pairwise chain q11/q45 is the O(sum bucket^2) alternative)."""
+    from geotiff_tiler_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.lsh_greedy_keep(docs))
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+    # the bucket-min is a window, the all-bands-won is a hash aggregate
+    assert "Window" in plan and "HashAggregate" in plan

@@ -391,3 +391,50 @@ def test_stream_static_label_join(spark, tmp_path_factory):
     # restart on the same checkpoint with no new input: nothing re-emitted
     again = run_stream()
     assert again.count() == n1
+
+
+def test_streaming_neardup_keep_matches_batch(spark, tmp_path_factory):
+    """Streaming greedy near-dup keep (chained stateful ops: band-level
+    dropDuplicatesWithinWatermark -> windowed all-bands-won count) equals
+    the batch operator when arrival order follows doc_id. One sorted
+    single-partition source file makes within-batch arrival = doc_id
+    order; a far-future flush row advances the final watermark past every
+    real doc's window (its own window never closes, so it is excluded
+    from the output by construction)."""
+    from geotiff_tiler_spark.operators import dedup
+
+    base = str(tmp_path_factory.mktemp("stream_neardup"))
+    src = f"{base}/src"
+    n = 240
+    flush_id = n
+    pg = pages.synth_pages(spark, n + 1).withColumn(
+        "warc_ts",
+        F.when(
+            F.col("doc_id") == flush_id,
+            F.timestamp_seconds(F.lit(pages.BASE_EPOCH + 30 * 86400)),
+        ).otherwise(F.timestamp_seconds(F.lit(pages.BASE_EPOCH) + F.col("doc_id"))),
+    )
+    pg.repartition(1).sortWithinPartitions("doc_id").write.parquet(src)
+
+    stream = ingest.read_pages_stream(spark, src)
+    kept_stream = ingest.streaming_neardup_keep(
+        stream, watermark="30 minutes", window_size="1 hour"
+    )
+    q = (
+        kept_stream.writeStream.format("memory")
+        .queryName("neardup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.sql("SELECT * FROM neardup").collect()}
+
+    # batch twin over the real docs (the flush row arrives last, so it
+    # cannot claim any earlier doc's bucket; min-id == first-arrival here)
+    docs = spark.read.parquet(src).filter(F.col("doc_id") < flush_id)
+    want = {r.doc_id for r in dedup.lsh_greedy_keep(docs).collect()}
+    assert got == want
+    assert got  # non-trivial: the synthetic clones guarantee drops too
+    assert len(got) < n  # doc_id % 17 == 16 exact clones must be dropped

@@ -32,6 +32,11 @@ def _ann_sections() -> list[str]:
         except OSError:
             continue
         recs = [r for r in recs if r.get("cpus") == 32 and r.get("n_rows") == 1_000_000]
+        # same rule as bench._ivf_best: once warm-methodology samples exist
+        # (untimed session warmup, run_headline's rule), only they compare
+        warm = [r for r in recs if r.get("warm")]
+        if warm:
+            recs = warm
         if not recs:
             continue
         rows = {r["topk_rows"] for r in recs}
@@ -42,7 +47,9 @@ def _ann_sections() -> list[str]:
             f"## {name}",
             "",
             f"Best of {len(recs)} exclusive local[32] samples "
-            f"(BENCH/{fname}); per-field minima:",
+            f"(BENCH/{fname}"
+            + ("; warm-methodology samples only" if warm else "")
+            + "); per-field minima:",
             "",
             "| total sec (best run) | train sec | topk sec | rows/sec | topk rows | best-run steal% |",
             "|---|---|---|---|---|---|",
