@@ -66,7 +66,22 @@ def main() -> None:
         )
         taken += 1
         ok = "ok" if r.returncode == 0 else "FAIL"
-        print(f"sample {taken} {item} {ok} {round(time.time()-t0,1)}s", flush=True)
+        # a mid-run steal burst slips past the pre-sample gate and inflates
+        # the sample; the record stays (min-estimator ignores it) but the
+        # plan slot is re-queued so the budget buys usable samples
+        note = ""
+        try:
+            rec = __import__("json").loads(r.stdout.strip().splitlines()[-1])
+            st_run = rec.get("steal_pct")
+            if st_run is not None and st_run > 3.0:
+                plan.append(item)
+                note = f" (steal {st_run}%: re-queued)"
+        except Exception:
+            pass
+        print(
+            f"sample {taken} {item} {ok} {round(time.time()-t0,1)}s{note}",
+            flush=True,
+        )
         time.sleep(20)  # let the JVM's load tail decay before re-checking
     print(f"done: {taken} samples, {len(plan)} unplanned")
 
