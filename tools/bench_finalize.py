@@ -32,11 +32,10 @@ def _ann_sections() -> list[str]:
         except OSError:
             continue
         recs = [r for r in recs if r.get("cpus") == 32 and r.get("n_rows") == 1_000_000]
-        # same rule as bench._ivf_best: once warm-methodology samples exist
-        # (untimed session warmup, run_headline's rule), only they compare
-        warm = [r for r in recs if r.get("warm")]
-        if warm:
-            recs = warm
+        # same rule as bench._ivf_best: pool ALL samples — cold (non-warm)
+        # runs fold one-time session costs into the timed window, so they
+        # only overstate the stage and a min() over them stays honest; the
+        # winning sample's provenance (warm/steal/commit) is reported
         if not recs:
             continue
         rows = {r["topk_rows"] for r in recs}
@@ -47,15 +46,17 @@ def _ann_sections() -> list[str]:
             f"## {name}",
             "",
             f"Best of {len(recs)} exclusive local[32] samples "
-            f"(BENCH/{fname}"
-            + ("; warm-methodology samples only" if warm else "")
-            + "); per-field minima:",
+            f"(BENCH/{fname}); per-field minima; best-run provenance "
+            "(commit, warm-methodology flag, own-window steal%) in the "
+            "last columns:",
             "",
-            "| total sec (best run) | train sec | topk sec | rows/sec | topk rows | best-run steal% |",
-            "|---|---|---|---|---|---|",
+            "| total sec (best run) | train sec | topk sec | rows/sec "
+            "| topk rows | best run commit | warm | steal% |",
+            "|---|---|---|---|---|---|---|---|",
             f"| {best['sec']} | {min(r['sec_train'] for r in recs)} "
             f"| {min(r['sec_topk'] for r in recs)} "
             f"| {max(r['rows_per_sec'] for r in recs)} | {best['topk_rows']} "
+            f"| {best.get('git', 'n/a')} | {bool(best.get('warm'))} "
             f"| {best.get('steal_pct', 'n/a')} |",
         ]
     return out
