@@ -132,15 +132,18 @@ def main() -> None:
         "the reported number is therefore a lower bound on the engine's own",
         "scaling.",
         "",
-        "Sample provenance: round-4-final code only (samples_r2.jsonl /",
-        "samples_r3.jsonl archive earlier rounds, whose join plan was",
+        "Sample provenance: round-4-final join plan onward — samples span",
+        "round-4-final and round-5 commits (stamped in each sample's `git`",
+        "field once recording landed); the scale-workload code path is",
+        "unchanged across them and all four output parity keys are asserted",
+        "identical across every pooled sample. samples_r2.jsonl /",
+        "samples_r3.jsonl archive earlier rounds, whose join plan WAS",
         "different code: round 4 removed the point-in-box join's output",
         "distinct() — a no-op dedup, since a point meets a box in at most",
         "one cell row, that cost a full output-sized shuffle and held the",
-        "join stage's 8->32-core scaling to 1.26x). Round-4 samples also",
-        "run S7 validation + quarantine of 8,000 injected malformed rows in",
-        "the UNTIMED generation phase. All four output parity keys are",
-        "unchanged from rounds 2-3 and asserted across every sample above.",
+        "join stage's 8->32-core scaling to 1.26x. Samples also run S7",
+        "validation + quarantine of 8,000 injected malformed rows in the",
+        "UNTIMED generation phase.",
     ]
     lines += _ann_sections()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
