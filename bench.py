@@ -285,7 +285,50 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
     }
 
 
+def slim(full: dict) -> dict:
+    """One-line summary that fits the driver's 2000-byte stdout tail.
+
+    The driver records only the LAST 2000 bytes of bench stdout and
+    json-parses the last complete line in it; the full result dict
+    outgrew that window in round 3 (BENCH_r03/r04 show "parsed": null),
+    so the detailed dict now goes to BENCH/bench_full.json and stdout
+    carries the spec keys (metric/value/unit/queries/sf) plus the
+    graded scalars. A size guard drops optional keys rather than ever
+    exceeding the window."""
+    scaling = full.get("scaling") or {}
+    out = {
+        "metric": full["metric"],
+        "value": full["value"],
+        "unit": full["unit"],
+        "queries": full["queries"],
+        "sf": full["sf"],
+        "cpus": full["cpus"],
+        "output_rows": full["output_rows"],
+        "tiles_join_rows_per_sec": full["tiles_join_rows_per_sec"],
+        "scaling_efficiency": scaling.get("efficiency"),
+        "scaling_speedup": scaling.get("speedup"),
+        "ivf_sec_best": (full.get("ivf_best_exclusive") or {}).get("sec_best"),
+        "pq_sec_best": (full.get("pq_best_exclusive") or {}).get("sec_best"),
+        "headline_best_total": (full.get("headline_best_exclusive") or {}).get(
+            "best_total"
+        ),
+        "full": "BENCH/bench_full.json",
+    }
+    for drop in ("cpus", "output_rows", "scaling_speedup", "full"):
+        if len(json.dumps(out)) <= 1900:
+            break
+        out.pop(drop, None)
+    return out
+
+
 if __name__ == "__main__":
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(json.dumps(run(sf_dir, cpus)))
+    result = run(sf_dir, cpus)
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "bench_full.json"
+    )
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(slim(result)))
