@@ -79,6 +79,14 @@ def asof_join(
     (left rows contribute NULLs to every carry column alike).
     """
     carry_map = {c: f"{prefix}{c}" for c in carry}
+    # NULL-ord right rows can never satisfy `right.ord <= left.ord` (SQL
+    # NULL comparison), but Spark's window sort puts NULLS FIRST — an
+    # unfiltered NULL-ord right row would sort before everything and leak
+    # its carries into every left row until a real right row lands. Drop
+    # them so the operator matches the inequality semantics for ANY input,
+    # not just null-free contract data. NULL-ord LEFT rows then sort
+    # before every remaining right row and correctly carry NULL.
+    right = right.filter(F.col(ord_col).isNotNull())
     r = right.select(
         *keys,
         F.col(ord_col).alias("_aord"),

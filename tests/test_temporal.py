@@ -74,6 +74,28 @@ def test_asof_join_all_rows_kept(spark):
     assert sorted(row["lid"] for row in out.select("lid").collect()) == list(range(50))
 
 
+def test_asof_join_null_ord_rows(spark):
+    # SQL semantics: a NULL-ord right row satisfies no inequality, so its
+    # carries must never surface (Spark's NULLS FIRST window sort would
+    # otherwise leak them into every left row before the first real right
+    # row); a NULL-ord left row matches no right row and carries NULL.
+    left = [(1, None, 10), (1, 100, 11), (1, 300, 12)]
+    right = [
+        (1, None, 5, 111.0),  # must never be carried
+        (1, 200, 6, 222.0),
+    ]
+    l = spark.createDataFrame(left, "user_id long, ts long, lid long")
+    r = spark.createDataFrame(right, "user_id long, ts long, lid long, rval double")
+    got = {
+        row["lid"]: row["rval"]
+        for row in temporal.asof_join(
+            l, r, keys=["user_id"], ord_col="ts", tie_col="lid",
+            carry=["rval"], prefix="",
+        ).collect()
+    }
+    assert got == {10: None, 11: None, 12: 222.0}
+
+
 def _brute_intervals(points, intervals):
     return sorted(
         (p[2], i[2])
