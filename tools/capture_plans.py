@@ -39,6 +39,33 @@ def _ivf_udf_plan(spark):
     )
 
 
+def _bucketed_plans(spark, docs):
+    """Bucketed corpus table (sources/bucketed.py): the groupBy runs on
+    the scan's own HashPartitioning (zero Exchange) and the merge-hinted
+    probe join shuffles ONLY the probe side (the hint pins SortMergeJoin
+    so the plan shape is conf-independent; without it the 64 MB broadcast
+    threshold would hide the bucketing by broadcasting the probes)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from geotiff_tiler_spark.sources import bucketed
+
+    path = os.path.join(tempfile.mkdtemp(prefix="plans_bucketed"), "corpus")
+    ingest = docs.select("doc_id", F.md5(F.col("text")).alias("digest"))
+    bucketed.write_bucketed(ingest, "plans_corpus_digest", "digest", 8, path=path)
+    tbl = bucketed.read_bucketed(spark, "plans_corpus_digest")
+    agg = tbl.groupBy("digest").agg(
+        F.count(F.lit(1)).alias("dup_cnt"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+    probes = ingest.filter(F.col("doc_id") % 50 == 0).select(
+        "digest", F.col("doc_id").alias("probe_id")
+    )
+    joined = probes.hint("merge").join(tbl, "digest")
+    return agg, joined
+
+
 def main() -> None:
     import __spark_entry__ as e
     from geotiff_tiler_spark.operators.tiling import TilingParams, doc_points
@@ -95,6 +122,15 @@ def main() -> None:
          "agg — NO join, no pair materialization at any point)",
          e.q50_lsh_keep(spark, SF)),
     ]
+    bucketed_agg, bucketed_join = _bucketed_plans(spark, docs)
+    sections += [
+        ("Bucketed corpus table: groupBy on the bucket key (zero Exchange "
+         "— partial+final agg on the scan's own HashPartitioning; "
+         "sources/bucketed.py)", bucketed_agg),
+        ("Bucketed corpus table: probe equi-join, merge-hinted (the ONLY "
+         "Exchange is the tiny probe side — the corpus reads pre-hashed)",
+         bucketed_join),
+    ]
     out = ["# PLANS — captured physical plans (sf0.01, local mode)", ""]
     out.append(
         "Generated by tools/capture_plans.py. Assertions on these properties"
@@ -106,6 +142,7 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md"), "w") as fh:
         fh.write("\n".join(out) + "\n")
     print("PLANS.md written")
+    spark.sql("DROP TABLE IF EXISTS plans_corpus_digest")
     spark.stop()
 
 
