@@ -579,3 +579,114 @@ def duplicate_clusters(
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+# Span length for corpus-internal duplicated-substring scoring. Long
+# enough that chance k-gram collisions are negligible (vocab^8); short
+# enough that near-duplicate docs still share most aligned spans.
+DUP_GRAM_K = 8
+
+
+def dup_gram_stats(
+    docs: DataFrame, text_col: str = "text", k: int = DUP_GRAM_K
+) -> DataFrame:
+    """Corpus-internal duplicated-span fraction per document (the exact
+    substring-dedup statistic of Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", 2021): for each doc, the fraction of
+    its DISTINCT k-token grams that occur in more than one document.
+    Distinct from q40 (overlap vs a broadcast eval set) and q11 (pairwise
+    Jaccard on LSH candidates): this scores every doc against the whole
+    corpus with no pair enumeration at all.
+
+    Plan shape (the part that matters at 100 TB):
+    - ``n_grams`` is a pure map-side expression (size of the distinct
+      shingle array) — the denominator never shuffles;
+    - grams shuffle ONCE keyed by their 60-bit portable hash (8-byte
+      keys, not span strings); the duplicate-gram dictionary is a
+      partial+final count(*) — map-side combine absorbs hot boilerplate
+      grams before the exchange;
+    - marking is a LEFT SEMI join of gram rows against the (smaller,
+      nd>1-filtered) dictionary — AQE's skew-join split handles a
+      boilerplate gram shared by millions of docs, which a
+      window-over-gram formulation could not (one unsplittable sort
+      partition per hot gram);
+    - the final per-doc count and the doc_id equi-join are skew-free
+      (doc_id unique).
+    The gram rows are deliberately recomputed by the two branches rather
+    than persisted: corpus-sized intermediates follow the fused-recompute
+    rule (see scale_job.run_ivf_stage), not the bounded-intermediate
+    localCheckpoint rule of ngram_jaccard_pairs.
+
+    Docs with fewer than k tokens have no spans and are excluded (both
+    engines agree by construction). Output: doc_id, n_grams,
+    n_dup_grams, dup_frac (round 9 — a ratio of two bigints, not an
+    order-dependent sum).
+    """
+    from geotiff_tiler_spark.functions.hashing import portable_hash64
+
+    sh = F.array_distinct(T.shingles(text_col, k))
+    base = docs.select("doc_id", sh.alias("_sh")).filter(F.size("_sh") > 0)
+    grams = base.select("doc_id", F.explode("_sh").alias("g")).select(
+        "doc_id", portable_hash64("g").alias("gh")
+    )
+    dup_dict = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    dup_per_doc = (
+        grams.join(dup_dict, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_dup"))
+    )
+    return (
+        base.select("doc_id", F.size("_sh").cast("bigint").alias("n_grams"))
+        .join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("_n_dup"), F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("_n_dup"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                9,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def dup_gram_sql(
+    text_expr: str = "text", k: int = DUP_GRAM_K, table: str = "documents"
+) -> str:
+    """DuckDB twin of `dup_gram_stats` — same shared shingles_sql +
+    portable 60-bit md5-prefix hash, so both engines mark the identical
+    gram set as duplicated."""
+    from geotiff_tiler_spark.functions.hashing import portable_hash64_sql
+
+    sh = T.shingles_sql(text_expr, k)
+    gh = portable_hash64_sql("g.g")
+    return f"""
+WITH base AS (
+  SELECT doc_id, list_distinct({sh}) AS sh FROM {table}
+),
+grams AS (
+  SELECT doc_id, {gh} AS gh FROM base, unnest(sh) AS g(g)
+),
+dup_dict AS (
+  SELECT gh FROM grams GROUP BY gh HAVING COUNT(*) > 1
+),
+dup_per_doc AS (
+  SELECT doc_id, COUNT(*) AS n_dup
+  FROM grams
+  WHERE gh IN (SELECT gh FROM dup_dict)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.sh) AS BIGINT) AS n_grams,
+       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_grams,
+       round(COALESCE(d.n_dup, 0)::DOUBLE / len(b.sh), 9) AS dup_frac
+FROM base b
+LEFT JOIN dup_per_doc d USING (doc_id)
+WHERE len(b.sh) > 0
+"""

@@ -189,3 +189,43 @@ def test_lsh_greedy_keep_matches_python(spark):
     assert kept == kept_py
     assert 2 not in kept and 5 not in kept and 6 not in kept  # dup chains
     assert 0 in kept and 3 in kept
+
+
+def test_dup_gram_stats_hand_case(spark):
+    # k=3: docs 0 and 1 share exactly one 3-gram ("a b c"); doc 2's
+    # repeated gram collapses under array_distinct (counted once, unique
+    # corpus-wide); doc 3 is below k tokens and must be excluded.
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "a b c x"), (2, "z z z z"), (3, "q r")],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_frac)
+        for r in dedup.dup_gram_stats(df, k=3).collect()
+    }
+    assert got == {0: (2, 1, 0.5), 1: (2, 1, 0.5), 2: (1, 0, 0.0)}
+
+
+def test_dup_gram_stats_matches_duckdb(spark):
+    import duckdb
+
+    rows = [(i, t) for i, t in enumerate(TEXTS)] + [
+        (90, TEXTS[0]),  # exact dup -> dup_frac 1.0 on both sides
+        (91, ""),  # empty -> excluded on both sides
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_grams, r.n_dup_grams, r.dup_frac)
+        for r in dedup.dup_gram_stats(df, k=3).collect()
+    }
+    con = duckdb.connect()
+    con.execute("SET threads=2")
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    want = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(dedup.dup_gram_sql(k=3)).fetchall()
+    }
+    assert got == want
+    assert got[90][2] == 1.0
+    assert 91 not in got
