@@ -82,6 +82,25 @@ def _dot(a, b, dim: int = EMB_DIM):
     return out
 
 
+def _dot_fold(a, b):
+    """Dot product as the zip_with + aggregate sequential fold.
+
+    Bit-identical doubles to the flat `_dot` (((0.0+p0)+p1)+... is the
+    same left-associated addition tree), so the two forms are freely
+    interchangeable per call site without touching any oracle. Which one
+    is faster depends on whether the projection actually compiles:
+    inside a whole-stage-codegen span the flat form is straight-line
+    machine code and wins by ~70 us/row (the 1M-row IVF probe stage —
+    see `_dot`); but in projections Spark evaluates INTERPRETED — above
+    a BroadcastNestedLoopJoin (q16's broadcast cross join) or wherever
+    the fused stage falls back — the flat form is a 255-node expression
+    tree walked per row, ~3x SLOWER than this fold's tight loop.
+    Measured at sf0.1, alternating A/B orders (exclusive minima):
+    q16 5.03 -> 1.46 s, q33 9.22 -> 2.65 s, q17 1.77 -> 1.20 s."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
 def _norm(a):
     return F.sqrt(_dot(a, a))
 
@@ -94,14 +113,21 @@ def with_cosine(df: DataFrame, a: str, b: str, out: str = "cosine") -> DataFrame
     return df.withColumn(out, F.round(cos, 6))
 
 
-def _with_cosine_prenormed(df: DataFrame, a: str, b: str, na: str, nb: str) -> DataFrame:
+def _with_cosine_prenormed(
+    df: DataFrame, a: str, b: str, na: str, nb: str, flat: bool = False
+) -> DataFrame:
     """cosine from a pre-joined pair with per-ROW norms already computed.
 
     Identical float ops to `with_cosine` (sqrt(dot(v,v)) then d/(na*nb)),
     but each vector's norm is evaluated once per row instead of once per
-    PAIR — a ~3x cut of the interpreted higher-order-function work in the
-    all-pairs stage. Bit-identical results -> same oracles."""
-    d = _dot(F.col(a), F.col(b))
+    PAIR — a ~3x cut of the pair-volume work in the all-pairs stage.
+    Bit-identical results -> same oracles.
+
+    `flat` picks the dot form (see `_dot_fold`): the fold is the default
+    (wins in every interpreted projection — q16/q17/q33); `ivf_topk`
+    passes flat=True, preserving the compiled BroadcastHashJoin
+    configuration whose 1M-row stage numbers were measured."""
+    d = (_dot if flat else _dot_fold)(F.col(a), F.col(b))
     cos = F.when((F.col(na) > 0) & (F.col(nb) > 0), d / (F.col(na) * F.col(nb))).otherwise(
         F.lit(0.0)
     )
@@ -913,7 +939,9 @@ def ivf_topk(
     joined = F.broadcast(probes).join(c, "ivf_cluster").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
-    scored = _with_cosine_prenormed(joined, "q_vec", "c_vec", "q_norm", "c_norm")
+    scored = _with_cosine_prenormed(
+        joined, "q_vec", "c_vec", "q_norm", "c_norm", flat=True
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
