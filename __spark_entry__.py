@@ -22,11 +22,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from geotiff_tiler_spark.functions import geo
+from geotiff_tiler_spark.functions import jsonpath as J
 from geotiff_tiler_spark.functions import text as T
 from geotiff_tiler_spark.operators import (
     dedup,
     knn,
+    quantiles,
     rank,
+    sampling,
     similarity,
     skew,
     spatial_join,
@@ -946,6 +949,51 @@ def q51_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.dup_gram_stats(_docs(spark, sf_dir))
 
 
+SAMPLE_QUOTA = 3  # per-(lang, source) cap for the contract-sized corpus
+
+
+def q52_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified quota sampling (the data-mixing op: cap every
+    (lang, source) stratum at SAMPLE_QUOTA docs, chosen by a seeded
+    shuffle both engines reproduce). sampling.stratified_sample ranks by
+    (md5(doc_id), doc_id) inside skew.bounded_topk, so no task ever
+    sorts more than ~|stratum|/64 rows — per-language caps stay safe at
+    1e12 docs where a plain per-stratum window would sort a whole
+    language in one task."""
+    samp = sampling.stratified_sample(
+        _docs(spark, sf_dir), ["lang", "source"], "doc_id", SAMPLE_QUOTA
+    )
+    return samp.select("lang", "source", "rank", "doc_id")
+
+
+def q53_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured metadata extraction (X18/webcrawl props): pull the
+    integer field $.k out of the events' JSON props column with the
+    JVM-native get_json_object and aggregate per event type. Pure map +
+    partial/final hash agg — zero shuffle beyond the 5-key final. k_avg
+    is one divide of two exact integers (order-free)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    kv = ev.select("event_type", J.json_bigint("props", "$.k").alias("_k"))
+    return kv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count("_k").alias("n_k"),
+        F.sum("_k").alias("k_sum"),
+        F.min("_k").alias("k_min"),
+        F.max("_k").alias("k_max"),
+        F.round(F.sum("_k").cast("double") / F.count("_k"), 9).alias("k_avg"),
+    )
+
+
+def q54_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact doc-length quantiles per language (corpus-quality order
+    stats) via the histogram shape: counts per (lang, n_chars) — at most
+    |langs| x |length domain| rows at ANY input size — then p50/p90/p99
+    read off cumulative counts with the pinned integer type-1 rank
+    formula (quantiles.grouped_exact_quantiles). Exact AND 100-TB-safe,
+    unlike Spark's buffering `percentile` aggregate."""
+    return quantiles.grouped_exact_quantiles(_docs(spark, sf_dir), ["lang"], "n_chars")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1020,6 +1068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q49_interval_join": q49_interval_join,
         "q50_lsh_keep": q50_lsh_keep,
         "q51_dup_ngrams": q51_dup_ngrams,
+        "q52_stratified_sample": q52_stratified_sample,
+        "q53_json_props": q53_json_props,
+        "q54_length_quantiles": q54_length_quantiles,
     }
 
 
@@ -1619,6 +1670,49 @@ SELECT doc_id FROM kept
 """,
         # q51: shared shingles_sql + portable_hash64_sql formulas
         "q51_dup_ngrams": dedup.dup_gram_sql(),
+        # q52: shared sample_key_sql order key; the two-stage bounded
+        # top-k is output-identical to the single window, so the oracle
+        # is the plain ROW_NUMBER form
+        "q52_stratified_sample": f"""
+WITH ranked AS (
+  SELECT lang, source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY {sampling.sample_key_sql('doc_id')}, doc_id) AS rank
+  FROM documents
+)
+SELECT lang, source, CAST(rank AS BIGINT) AS rank, doc_id
+FROM ranked WHERE rank <= {SAMPLE_QUOTA}
+""",
+        # q53: shared json_bigint_sql path formula
+        "q53_json_props": f"""
+WITH kv AS (
+  SELECT event_type, {J.json_bigint_sql('props', '$.k')} AS _k FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(COUNT(_k) AS BIGINT) AS n_k,
+       CAST(SUM(_k) AS BIGINT) AS k_sum,
+       MIN(_k) AS k_min,
+       MAX(_k) AS k_max,
+       round(CAST(SUM(_k) AS DOUBLE) / COUNT(_k), 9) AS k_avg
+FROM kv GROUP BY event_type
+""",
+        # q54: shared quantile rank formula (quantiles_select_sql) over
+        # the same histogram + cumulative-window shape
+        "q54_length_quantiles": f"""
+WITH h AS (
+  SELECT lang, n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY lang, n_chars
+),
+c AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+         SUM(cnt) OVER (PARTITION BY lang) AS n
+  FROM h
+)
+SELECT lang, CAST(MAX(n) AS BIGINT) AS n_rows,
+       {quantiles.quantiles_select_sql()}
+FROM c GROUP BY lang
+""",
         "q12_simhash": r"""
 SELECT doc_id,
        CAST(CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 64) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 64 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 128) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 128 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 256) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 256 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 512) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 512 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1024) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1024 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2048) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2048 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4096) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4096 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8192) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8192 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16384) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16384 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32768) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32768 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 65536) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 65536 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 131072) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 131072 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 262144) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 262144 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 524288) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 524288 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1048576) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1048576 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2097152) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2097152 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4194304) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4194304 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8388608) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8388608 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16777216) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16777216 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 33554432) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 33554432 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 67108864) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 67108864 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 134217728) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 134217728 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 268435456) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 268435456 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 536870912) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 536870912 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1073741824) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1073741824 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2147483648) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2147483648 ELSE 0 END AS BIGINT) AS simhash,

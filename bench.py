@@ -54,6 +54,10 @@ HEADLINE = [
     "q48_asof_join",
     "q49_interval_join",
     "q50_lsh_keep",
+    "q51_dup_ngrams",
+    "q52_stratified_sample",
+    "q53_json_props",
+    "q54_length_quantiles",
 ]
 
 

@@ -1,0 +1,89 @@
+"""Exact grouped quantiles over bounded integer domains, histogram-style.
+
+Corpus-quality reporting needs order statistics (median / p90 / p99 of
+doc length, token count, score buckets) — but Spark's exact
+``percentile`` aggregate buffers EVERY value of a group in one task,
+and approx_percentile is not oracle-checkable. For integer-valued
+metrics with a bounded domain (lengths, counts, 0-100 scores) there is
+a shape that is both exact and 100-TB-safe: aggregate a histogram —
+counts per (group, value), at most |group| x |domain| rows regardless
+of input size — then read each quantile off the cumulative counts.
+
+Definition (pinned, interpolation-free, pure integer): the q-quantile
+for q = num/den is the SMALLEST value whose running count reaches
+ceil(n * num / den) — the "lower" / type-1 quantile. The target rank is
+computed as floor((n*num + den - 1) / den), integer-exact in double for
+n*num < 2^53 (~9e13 rows per group with p99) — far past any per-group
+cardinality this engine targets; both engines evaluate the identical
+formula (shared via :func:`quantiles_select_sql`).
+
+Scale shape: one partial+final hash aggregate (map-side combined) down
+to histogram size, then two window passes over bounded partitions
+(<= |domain| rows each), then a final tiny aggregate. No task ever
+holds more than the domain's distinct values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+# (output column, numerator, denominator)
+DEFAULT_QUANTILES: tuple[tuple[str, int, int], ...] = (
+    ("p50", 1, 2),
+    ("p90", 9, 10),
+    ("p99", 99, 100),
+)
+
+
+def _target(n_col, num: int, den: int):
+    """ceil(n * num / den) as floor((n*num + den - 1) / den), bigint."""
+    return F.floor((n_col * F.lit(num) + F.lit(den - 1)) / F.lit(den))
+
+
+def grouped_exact_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: tuple[tuple[str, int, int], ...] = DEFAULT_QUANTILES,
+) -> DataFrame:
+    """Exact type-1 quantiles of integer `value_col` per group.
+
+    Output: group_cols + n_rows (bigint) + one bigint column per
+    requested quantile."""
+    hist = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w_cum = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    w_all = Window.partitionBy(*group_cols)
+    c = hist.withColumn("_cum", F.sum("_cnt").over(w_cum)).withColumn(
+        "_n", F.sum("_cnt").over(w_all)
+    )
+    aggs = [F.max("_n").alias("n_rows")]
+    for name, num, den in quantiles:
+        hit = F.when(F.col("_cum") >= _target(F.col("_n"), num, den), F.col(value_col))
+        aggs.append(F.min(hit).alias(name))
+    return c.groupBy(*group_cols).agg(*aggs)
+
+
+def quantiles_select_sql(
+    value_expr: str = "v",
+    n_expr: str = "n",
+    cum_expr: str = "cum",
+    quantiles: tuple[tuple[str, int, int], ...] = DEFAULT_QUANTILES,
+) -> str:
+    """The per-quantile SELECT fragments of the DuckDB twin — generated
+    from the SAME (num, den) specs and target formula as the Spark side,
+    to be wrapped in the histogram + cumulative-window CTE by the caller:
+
+        WITH h AS (SELECT <group>, <val> AS v, COUNT(*) AS cnt ... GROUP BY ...),
+        c AS (SELECT *, SUM(cnt) OVER (PARTITION BY <group> ORDER BY v) AS cum,
+                        SUM(cnt) OVER (PARTITION BY <group>) AS n FROM h)
+        SELECT <group>, CAST(MAX(n) AS BIGINT) AS n_rows, {this} FROM c GROUP BY <group>
+    """
+    parts = []
+    for name, num, den in quantiles:
+        target = f"CAST(floor(({n_expr}*{num} + {den - 1}) / {den}) AS BIGINT)"
+        parts.append(
+            f"MIN(CASE WHEN {cum_expr} >= {target} THEN {value_expr} END) AS {name}"
+        )
+    return ",\n       ".join(parts)
