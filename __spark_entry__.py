@@ -994,6 +994,60 @@ def q54_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantiles.grouped_exact_quantiles(_docs(spark, sf_dir), ["lang"], "n_chars")
 
 
+def q55_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level dedup WITH text reconstruction (dedup.segment_dedup;
+    CCNet-style line dedup, Wenzek et al. 2020): every 8-token segment
+    occurring more than once corpus-wide is removed and the doc is
+    re-joined from the survivors. Distinct from q51, which only scores —
+    this one EDITS the corpus (the boilerplate-stripping transform).
+    Dictionary = partial+final count on 60-bit segment hashes; removal =
+    left-anti join on the 8-byte key; reconstruction = per-doc bounded
+    collect+sort. clean_md5 pins the reconstructed bytes cross-engine."""
+    return dedup.segment_dedup(_docs(spark, sf_dir))
+
+
+MIX_WEIGHTS = {"en": 4, "zh": 2, "de": 1, "fr": 1, "es": 1}
+
+
+def q56_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture resampling (sampling.mixture_resample): keep
+    the LARGEST subcorpus whose language shares hit MIX_WEIGHTS
+    (en 4/9, zh 2/9, ...), via per-stratum keep rates and a seeded
+    [0,1) Bernoulli key both engines flip identically. The corpus never
+    shuffles: tiny per-lang count agg -> broadcast rate table -> map-side
+    filter. Output: per (lang, source) incoming vs kept counts plus the
+    lang's keep rate."""
+    docs = _docs(spark, sf_dir)
+    kept = sampling.mixture_resample(docs, "lang", "doc_id", MIX_WEIGHTS)
+    base = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_in"))
+    out = kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("_n_kept"), F.round(F.max("_rate"), 9).alias("_rate9")
+    )
+    return base.join(out, ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        "n_in",
+        F.coalesce(F.col("_n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        F.col("_rate9").alias("rate"),
+    )
+
+
+def q57_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-language length-outlier gate
+    (quantiles.robust_outlier_gate): flag docs with
+    |n_chars - median| > 3 * MAD. Median and MAD each come from the
+    bounded histogram shape (grouped_exact_quantiles), the tiny
+    (median, MAD) tables broadcast back, and the flag is a pure integer
+    comparison — exact order statistics with no unbounded sort, where a
+    mean/stddev gate would be dragged by the tail it should catch.
+    cut=2 here (the classic gate is 3): the synthetic corpus's length
+    tails are light, and 2 MADs is the tightest setting that actually
+    flags rows at the contract scale, exercising the flag path."""
+    return quantiles.robust_outlier_gate(
+        _docs(spark, sf_dir), ["lang"], "n_chars", cut=2
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1071,6 +1125,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q52_stratified_sample": q52_stratified_sample,
         "q53_json_props": q53_json_props,
         "q54_length_quantiles": q54_length_quantiles,
+        "q55_segment_dedup": q55_segment_dedup,
+        "q56_mixture_resample": q56_mixture_resample,
+        "q57_length_outliers": q57_length_outliers,
     }
 
 
@@ -1713,6 +1770,30 @@ SELECT lang, CAST(MAX(n) AS BIGINT) AS n_rows,
        {quantiles.quantiles_select_sql()}
 FROM c GROUP BY lang
 """,
+        # q55: shared tokenizer + portable segment hash (segment_dedup_sql)
+        "q55_segment_dedup": dedup.segment_dedup_sql(),
+        # q56: shared cap/rate/unit-key formulas (mixture_resample_ctes);
+        # the summary join mirrors the Spark left join, so a stratum
+        # group with zero kept rows has rate NULL in both engines
+        "q56_mixture_resample": f"""
+WITH {sampling.mixture_resample_ctes('lang', 'doc_id', MIX_WEIGHTS, 'documents')},
+base AS (
+  SELECT lang, source, COUNT(*) AS n_in FROM documents GROUP BY 1, 2
+),
+kept_agg AS (
+  SELECT lang, source, COUNT(*) AS n_kept, round(MAX(_rate), 9) AS rate
+  FROM kept GROUP BY 1, 2
+)
+SELECT b.lang, b.source, b.n_in,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       k.rate
+FROM base b LEFT JOIN kept_agg k USING (lang, source)
+""",
+        # q57: the shared histogram-median formula applied twice
+        # (robust_gate_sql), then the same integer |x-med| > 3*MAD flag
+        "q57_length_outliers": quantiles.robust_gate_sql(
+            "lang", "n_chars", "documents", cut=2
+        ),
         "q12_simhash": r"""
 SELECT doc_id,
        CAST(CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 64) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 64 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 128) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 128 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 256) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 256 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 512) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 512 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1024) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1024 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2048) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2048 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4096) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4096 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8192) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8192 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16384) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16384 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32768) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32768 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 65536) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 65536 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 131072) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 131072 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 262144) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 262144 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 524288) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 524288 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1048576) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1048576 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2097152) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2097152 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4194304) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4194304 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8388608) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8388608 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16777216) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16777216 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 33554432) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 33554432 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 67108864) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 67108864 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 134217728) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 134217728 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 268435456) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 268435456 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 536870912) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 536870912 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1073741824) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1073741824 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2147483648) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2147483648 ELSE 0 END AS BIGINT) AS simhash,

@@ -58,6 +58,9 @@ HEADLINE = [
     "q52_stratified_sample",
     "q53_json_props",
     "q54_length_quantiles",
+    "q55_segment_dedup",
+    "q56_mixture_resample",
+    "q57_length_outliers",
 ]
 
 

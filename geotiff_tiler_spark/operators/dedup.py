@@ -690,3 +690,149 @@ FROM base b
 LEFT JOIN dup_per_doc d USING (doc_id)
 WHERE len(b.sh) > 0
 """
+
+
+# --- segment-level dedup with text reconstruction ---------------------------
+
+SEGMENT_W = 8  # tokens per non-overlapping segment
+
+
+def segment_dedup(
+    docs: DataFrame, text_col: str = "text", w: int = SEGMENT_W
+) -> DataFrame:
+    """CCNet-style segment (line/paragraph) dedup WITH text reconstruction
+    (Wenzek et al., "CCNet: Extracting High Quality Monolingual Datasets
+    from Web Crawl Data", 2020 — there the unit is a line; this corpus
+    has no newlines, so the unit is a non-overlapping `w`-token segment).
+    Unlike q51 (dup_gram_stats), which only SCORES each doc, this operator
+    EDITS it: every segment whose corpus-wide occurrence count exceeds 1
+    is removed and the surviving segments are re-joined in order — the
+    boilerplate-stripping transform a crawl-curation pipeline actually
+    applies before training.
+
+    Plan shape at 100 TB:
+    - segmentization is a pure map: `_t` (the token array) is referenced
+      MORE THAN ONCE in the segment projection, so CollapseProject keeps
+      the tokenizer in its own projection and it runs ONCE per row (a
+      plan test asserts a single regex split in the optimized plan —
+      the shingles() lesson, text.py:63);
+    - the duplicate-segment dictionary is a partial+final count(*) on
+      the 60-bit portable segment hash — map-side combine absorbs hot
+      boilerplate segments before the exchange, and the dictionary is
+      nd>1-filtered before the join;
+    - removal is a LEFT ANTI join of segment occurrences against the
+      dictionary on the 8-byte hash (AQE-splittable on hot keys, unlike
+      a window-over-segment);
+    - reconstruction is a per-doc groupBy: collect_list of
+      (idx, segment) structs, array_sort, join — bounded by the doc
+      size, never by the corpus.
+
+    Output: doc_id, n_seg, n_kept, kept_frac (round 9), clean_md5 (md5
+    of the reconstructed text; '' when everything was boilerplate) — the
+    md5 keeps the contract row narrow while still pinning the exact
+    reconstructed bytes cross-engine.
+    """
+    from geotiff_tiler_spark.functions.hashing import portable_hash64
+
+    base = docs.select("doc_id", T.tokens(text_col).alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    n_seg = F.floor((F.size("_t") + F.lit(w - 1)) / F.lit(w))
+    segs = base.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), (n_seg - F.lit(1)).cast("int")),
+            lambda i: F.array_join(F.slice(F.col("_t"), i * w + 1, w), " "),
+        ).alias("_segs"),
+    )
+    # posexplode_OUTER on purpose: plain posexplode makes Catalyst infer a
+    # `size(_segs) > 0` filter (InferFiltersFromGenerate) and predicate
+    # pushdown inlines the WHOLE segment expression — tokenizer included —
+    # into that predicate's per-element lambda, re-running the regex split
+    # once per segment. Outer explode skips the inference; it is
+    # semantically identical here because the size(_t) > 0 pre-filter
+    # guarantees every doc has at least one segment.
+    occ = segs.select(
+        "doc_id", F.posexplode_outer("_segs").alias("idx", "seg")
+    ).withColumn("gh", portable_hash64("seg"))
+    dup_dict = (
+        occ.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    recon = (
+        occ.join(dup_dict, "gh", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("idx", "seg"))),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("_clean"),
+        )
+    )
+    return (
+        segs.select("doc_id", F.size("_segs").cast("bigint").alias("n_seg"))
+        .join(recon, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_seg",
+            F.coalesce(F.col("_n_kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+            F.round(
+                F.coalesce(F.col("_n_kept"), F.lit(0)).cast("double")
+                / F.col("n_seg"),
+                9,
+            ).alias("kept_frac"),
+            F.md5(F.coalesce(F.col("_clean"), F.lit(""))).alias("clean_md5"),
+        )
+    )
+
+
+def segment_dedup_sql(
+    text_expr: str = "text", w: int = SEGMENT_W, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`segment_dedup` — same shared tokenizer
+    (text.tokens_sql) + portable 60-bit segment hash, so both engines
+    remove the identical segment set and reconstruct identical bytes."""
+    from geotiff_tiler_spark.functions.hashing import portable_hash64_sql
+
+    toks = T.tokens_sql(text_expr)
+    gh = portable_hash64_sql("seg")
+    return f"""
+WITH base AS (
+  SELECT doc_id, {toks} AS t FROM {table}
+),
+b2 AS (
+  SELECT doc_id,
+         list_transform(
+           range(0, CAST(floor((len(t) + {w - 1}) / {w}) AS BIGINT), 1),
+           i -> array_to_string(list_slice(t, CAST(i*{w} + 1 AS INT), CAST(i*{w} + {w} AS INT)), ' ')) AS segs
+  FROM base WHERE len(t) > 0
+),
+occ AS (
+  SELECT doc_id, CAST(r.i AS BIGINT) - 1 AS idx, segs[CAST(r.i AS INT)] AS seg
+  FROM b2, unnest(range(1, len(segs) + 1, 1)) AS r(i)
+),
+och AS (
+  SELECT doc_id, idx, seg, {gh} AS gh FROM occ
+),
+dups AS (
+  SELECT gh FROM och GROUP BY gh HAVING COUNT(*) > 1
+),
+recon AS (
+  SELECT doc_id, COUNT(*) AS n_kept, string_agg(seg, ' ' ORDER BY idx) AS clean
+  FROM och WHERE gh NOT IN (SELECT gh FROM dups)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(len(b.segs) AS BIGINT) AS n_seg,
+       CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+       round(COALESCE(r.n_kept, 0)::DOUBLE / len(b.segs), 9) AS kept_frac,
+       md5(COALESCE(r.clean, '')) AS clean_md5
+FROM b2 b
+LEFT JOIN recon r USING (doc_id)
+"""

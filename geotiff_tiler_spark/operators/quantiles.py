@@ -87,3 +87,83 @@ def quantiles_select_sql(
             f"MIN(CASE WHEN {cum_expr} >= {target} THEN {value_expr} END) AS {name}"
         )
     return ",\n       ".join(parts)
+
+
+def robust_outlier_gate(
+    df: DataFrame, group_cols: list[str], value_col: str, cut: int = 3
+) -> DataFrame:
+    """Robust per-group outlier gate: flag rows where
+    |value - median| > cut * MAD (median absolute deviation) — the
+    classic heavy-tail-safe filter for corpus metrics (doc length, token
+    count), where mean/stddev gates are dragged by the very outliers
+    they should catch.
+
+    Composes :func:`grouped_exact_quantiles` twice — median of the
+    value, then median of the absolute deviations — so both passes are
+    the bounded histogram shape (the deviation domain is at most the
+    value domain's width). The per-group (median, MAD) tables are tiny
+    and broadcast back; the flag itself is a pure integer comparison
+    (`dev > cut * mad`, no float), and the corpus is scanned, never
+    sorted. Output per group: n_rows, med, mad, n_out,
+    out_frac (round 9).
+    """
+    med = grouped_exact_quantiles(df, group_cols, value_col, (("med", 1, 2),)).select(
+        *group_cols, "med"
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "_dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    mad = grouped_exact_quantiles(dev, group_cols, "_dev", (("mad", 1, 2),)).select(
+        *group_cols, "mad"
+    )
+    flagged = dev.join(F.broadcast(mad), group_cols).withColumn(
+        "_out", (F.col("_dev") > F.lit(cut) * F.col("mad")).cast("bigint")
+    )
+    return flagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("med").alias("med"),
+        F.max("mad").alias("mad"),
+        F.sum("_out").cast("bigint").alias("n_out"),
+        F.round(F.sum("_out").cast("double") / F.count(F.lit(1)), 9).alias("out_frac"),
+    )
+
+
+def robust_gate_sql(
+    group_expr: str, value_expr: str, table: str, cut: int = 3
+) -> str:
+    """DuckDB twin of :func:`robust_outlier_gate` — the same histogram +
+    cumulative-count median formula (via :func:`quantiles_select_sql`)
+    applied twice, then the same integer flag."""
+    med_sel = quantiles_select_sql(quantiles=(("med", 1, 2),))
+    mad_sel = quantiles_select_sql(quantiles=(("mad", 1, 2),))
+    return f"""
+WITH h1 AS (
+  SELECT {group_expr} AS g, {value_expr} AS v, COUNT(*) AS cnt
+  FROM {table} GROUP BY 1, 2
+),
+c1 AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM h1
+),
+med AS (SELECT g, {med_sel} FROM c1 GROUP BY g),
+dev AS (
+  SELECT d.{group_expr} AS g, abs(d.{value_expr} - m.med) AS v, m.med
+  FROM {table} d JOIN med m ON d.{group_expr} = m.g
+),
+h2 AS (SELECT g, v, COUNT(*) AS cnt FROM dev GROUP BY 1, 2),
+c2 AS (
+  SELECT *, SUM(cnt) OVER (PARTITION BY g ORDER BY v) AS cum,
+         SUM(cnt) OVER (PARTITION BY g) AS n
+  FROM h2
+),
+mad AS (SELECT g, {mad_sel} FROM c2 GROUP BY g)
+SELECT dev.g AS {group_expr},
+       COUNT(*) AS n_rows,
+       MAX(dev.med) AS med,
+       MAX(mad.mad) AS mad,
+       CAST(SUM(CASE WHEN dev.v > {cut} * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+       round(SUM(CASE WHEN dev.v > {cut} * mad.mad THEN 1 ELSE 0 END)::DOUBLE / COUNT(*), 9) AS out_frac
+FROM dev JOIN mad ON dev.g = mad.g
+GROUP BY dev.g
+"""

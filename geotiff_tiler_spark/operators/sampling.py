@@ -74,3 +74,103 @@ def stratified_sample(
         rank_col=rank_col,
     )
     return out.drop("_sk")
+
+
+# --- deterministic mixture resampling ----------------------------------------
+
+# 13 md5 hex digits = 52 bits; dividing by 2^52 is an exact power-of-two
+# scale, so the key is uniform on [0, 1) with no rounding asymmetry.
+UNIT_DENOM = float(1 << 52)
+
+
+def unit_interval_key(id_col) -> Column:
+    """Deterministic uniform [0,1) key per id — the Bernoulli coin both
+    engines (and any re-run) flip identically: first 13 md5 hex digits
+    of the decimal id string, scaled by 2^-52."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 13), 16, 10)
+    return h.cast("bigint") / F.lit(UNIT_DENOM)
+
+
+def unit_interval_key_sql(expr: str) -> str:
+    """DuckDB twin of :func:`unit_interval_key`."""
+    return (
+        f"(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 13))::BIGINT"
+        f" / {1 << 52}.0)"
+    )
+
+
+def mixture_resample(
+    df: DataFrame, stratum_col: str, id_col: str, weights: dict[str, int]
+) -> DataFrame:
+    """Resample the corpus to TARGET mixture proportions, deterministically.
+
+    The other half of the data-mixing problem: `stratified_sample` caps
+    strata at an absolute quota; this op reshapes the corpus so stratum
+    `s` contributes share w_s / sum(w) of the output — the language-
+    rebalancing step of a multilingual training mix. The largest output
+    satisfying every target exactly is T = min_s floor(n_s * sum(w) / w_s),
+    giving per-stratum keep rate r_s = T * w_s / (sum(w) * n_s) <= 1; a row
+    is kept iff its :func:`unit_interval_key` < r_s (seeded Bernoulli —
+    expectation exactly T * w_s / sum(w), and both engines keep the
+    identical row set). Strata absent from `weights` are dropped.
+
+    100-TB shape: the corpus is NEVER shuffled — one tiny partial+final
+    count per stratum, a |strata|-row rate table broadcast back, and a
+    map-side filter. All arithmetic is integer or single IEEE divisions
+    of exact integers (n * sum(w) < 2^52 holds to ~10^12 rows per
+    stratum), so the kept set is stable across engines and re-runs.
+
+    Returns the kept rows with `_rate` and `_n_s` attached (callers
+    aggregate as needed)."""
+    wsum = sum(weights.values())
+    wmap = F.create_map(*[F.lit(x) for kv in weights.items() for x in kv])
+    caps = (
+        df.groupBy(stratum_col)
+        .agg(F.count(F.lit(1)).alias("_n_s"))
+        .withColumn("_w", wmap[F.col(stratum_col)])
+        .filter(F.col("_w").isNotNull())
+        .withColumn("_cap", F.floor((F.col("_n_s") * F.lit(wsum)) / F.col("_w")))
+    )
+    t = caps.agg(F.min("_cap").alias("_T"))
+    rates = caps.crossJoin(F.broadcast(t)).select(
+        stratum_col,
+        "_n_s",
+        (
+            (F.col("_T") * F.col("_w")).cast("double")
+            / (F.col("_n_s") * F.lit(wsum)).cast("double")
+        ).alias("_rate"),
+    )
+    return df.join(F.broadcast(rates), stratum_col).filter(
+        unit_interval_key(id_col) < F.col("_rate")
+    )
+
+
+def mixture_resample_ctes(
+    stratum_expr: str, id_expr: str, weights: dict[str, int], table: str
+) -> str:
+    """DuckDB twin CTE block for :func:`mixture_resample` — emits a
+    `kept` CTE (all `table` columns + rate + n_s) from the SAME cap /
+    rate / unit-key formulas, so the kept row set is engine-identical."""
+    wsum = sum(weights.values())
+    vals = ", ".join(f"('{s}', {w})" for s, w in sorted(weights.items()))
+    key = unit_interval_key_sql(f"d.{id_expr}")
+    return f"""
+counts AS (
+  SELECT {stratum_expr} AS s, COUNT(*) AS n_s FROM {table} GROUP BY 1
+),
+caps AS (
+  SELECT s, n_s, w, CAST(floor((n_s * {wsum}) / w) AS BIGINT) AS cap
+  FROM counts JOIN (VALUES {vals}) AS wt(s, w) USING (s)
+),
+t AS (SELECT MIN(cap) AS t_total FROM caps),
+rates AS (
+  SELECT s, n_s,
+         CAST(cap_t.t_total * w AS DOUBLE) / CAST(n_s * {wsum} AS DOUBLE) AS rate
+  FROM caps, t AS cap_t
+),
+kept AS (
+  SELECT d.*, r.rate AS _rate, r.n_s AS _n_s
+  FROM {table} d JOIN rates r ON d.{stratum_expr} = r.s
+  WHERE {key} < r.rate
+)"""

@@ -1,0 +1,198 @@
+"""Segment dedup + mixture resampling + robust outlier gate.
+
+Each operator gets an independent pure-Python recomputation of its
+definition (the strongest oracle available in-process), plus the plan
+property that makes it scale-safe where one exists.
+"""
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from geotiff_tiler_spark.operators import dedup, quantiles, sampling
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# --- segment dedup -----------------------------------------------------------
+
+
+def _py_segments(text, w):
+    toks = text.split()
+    return [" ".join(toks[i : i + w]) for i in range(0, len(toks), w)]
+
+
+def _py_segment_dedup(rows, w):
+    """Pure-Python recomputation: occurrence-count dictionary over ALL
+    segment occurrences, drop count>1, rebuild in order."""
+    occ = []
+    for doc_id, text in rows:
+        for idx, seg in enumerate(_py_segments(text, w)):
+            occ.append((doc_id, idx, seg))
+    counts = {}
+    for _, _, seg in occ:
+        counts[seg] = counts.get(seg, 0) + 1
+    out = {}
+    for doc_id, text in rows:
+        segs = _py_segments(text, w)
+        if not segs:
+            continue
+        kept = [s for s in segs if counts[s] == 1]
+        clean = " ".join(kept)
+        out[doc_id] = (
+            len(segs),
+            len(kept),
+            round(len(kept) / len(segs), 9),
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+    return out
+
+
+def test_segment_dedup_hand_case(spark):
+    # w=2 segments; "a b" is boilerplate (3 occurrences across docs 1/2/3),
+    # doc 4 is all-boilerplate, doc 5 is a single short (partial) segment.
+    rows = [
+        (1, "a b c d"),
+        (2, "a b x y"),
+        (3, "p q a b"),
+        (4, "a b"),
+        (5, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_seg"], r["n_kept"], r["kept_frac"], r["clean_md5"])
+        for r in dedup.segment_dedup(df, w=2).collect()
+    }
+    want = _py_segment_dedup(rows, 2)
+    assert got == want
+    # the edit is real: doc 1 keeps only "c d"
+    assert got[1][1] == 1
+    assert got[1][3] == hashlib.md5(b"c d").hexdigest()
+    # all-boilerplate doc survives with empty reconstruction
+    assert got[4][1] == 0 and got[4][3] == hashlib.md5(b"").hexdigest()
+
+
+def test_segment_dedup_tokenizer_not_inlined_into_lambda(spark, docs):
+    """The tokenizer (regex split) must stay in its own projection —
+    inlined into the per-segment lambda it would re-run once PER SEGMENT
+    (the shingles() lesson, text.py:63). In the optimized plan the
+    segment-building transform must reference the `_t` attribute, not a
+    nested split()."""
+    plan = (
+        dedup.segment_dedup(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    lines = plan.split("\n")
+    seg_lines = [l for l in lines if "array_join" in l]
+    assert seg_lines, plan
+    for l in seg_lines:
+        assert "split(" not in l, l
+    assert any("split(" in l for l in lines), plan
+
+
+def test_segment_dedup_duckdb_parity(spark, docs):
+    got = sorted(map(tuple, dedup.segment_dedup(docs).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(dedup.segment_dedup_sql()).fetchall()))
+    assert got == want and len(got) > 0
+
+
+# --- mixture resampling -------------------------------------------------------
+
+
+def _py_unit_key(doc_id):
+    return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:13], 16) / float(1 << 52)
+
+
+def _py_mixture_resample(rows, weights):
+    """Pure-Python recomputation of the cap/rate/Bernoulli-key formulas."""
+    wsum = sum(weights.values())
+    counts = {}
+    for _, lang in rows:
+        counts[lang] = counts.get(lang, 0) + 1
+    caps = {
+        s: math.floor((counts[s] * wsum) / w)
+        for s, w in weights.items()
+        if s in counts
+    }
+    t = min(caps.values())
+    rates = {s: (t * weights[s]) / float(counts[s] * wsum) for s in caps}
+    return {
+        doc_id
+        for doc_id, lang in rows
+        if lang in rates and _py_unit_key(doc_id) < rates[lang]
+    }
+
+
+def test_mixture_resample_python_oracle(spark, docs):
+    weights = {"en": 4, "zh": 2, "de": 1, "fr": 1, "es": 1}
+    kept = sampling.mixture_resample(docs, "lang", "doc_id", weights)
+    got = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    rows = [(r["doc_id"], r["lang"]) for r in docs.select("doc_id", "lang").collect()]
+    want = sorted(_py_mixture_resample(rows, weights))
+    assert got == want and len(got) > 0
+
+
+def test_mixture_resample_rate_bounds_and_shares(spark, docs):
+    weights = {"en": 1, "zh": 1, "de": 1, "fr": 1, "es": 1}
+    kept = sampling.mixture_resample(docs, "lang", "doc_id", weights)
+    rates = {
+        r["lang"]: r["_rate"]
+        for r in kept.select("lang", "_rate").distinct().collect()
+    }
+    assert rates and all(0.0 < v <= 1.0 for v in rates.values())
+    # uniform weights: every stratum downsampled toward the smallest, so
+    # the smallest stratum keeps (close to) everything: its rate is the max
+    n_s = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    smallest = min(n_s, key=lambda s: n_s[s])
+    assert rates[smallest] == max(rates.values())
+
+
+def test_mixture_resample_unknown_stratum_dropped(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "xx") for i in range(20)], ["doc_id", "lang"]
+    )
+    kept = sampling.mixture_resample(df, "lang", "doc_id", {"en": 1})
+    langs = {r["lang"] for r in kept.select("lang").distinct().collect()}
+    assert langs == {"en"}
+
+
+# --- robust outlier gate ------------------------------------------------------
+
+
+def _py_median(vals):
+    """Type-1 (lower) median: smallest value whose rank reaches ceil(n/2)."""
+    s = sorted(vals)
+    return s[math.ceil(len(s) / 2) - 1]
+
+
+def test_robust_gate_python_oracle(spark, docs):
+    got = {
+        r["lang"]: (r["n_rows"], r["med"], r["mad"], r["n_out"], r["out_frac"])
+        for r in quantiles.robust_outlier_gate(docs, ["lang"], "n_chars").collect()
+    }
+    by_lang = {}
+    for r in docs.select("lang", "n_chars").collect():
+        by_lang.setdefault(r["lang"], []).append(r["n_chars"])
+    for lang, vals in by_lang.items():
+        med = _py_median(vals)
+        mad = _py_median([abs(v - med) for v in vals])
+        n_out = sum(1 for v in vals if abs(v - med) > 3 * mad)
+        want = (len(vals), med, mad, n_out, round(n_out / len(vals), 9))
+        assert got[lang] == want, (lang, got[lang], want)
+    assert set(got) == set(by_lang)
+
+
+def test_robust_gate_flags_injected_outlier(spark):
+    rows = [(i, "en", 100 + (i % 5)) for i in range(40)] + [(99, "en", 10_000)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
+    out = quantiles.robust_outlier_gate(df, ["lang"], "n_chars").collect()[0]
+    assert out["n_out"] == 1 and out["n_rows"] == 41
