@@ -61,6 +61,8 @@ HEADLINE = [
     "q55_segment_dedup",
     "q56_mixture_resample",
     "q57_length_outliers",
+    "q58_source_overlap",
+    "q59_vocab_coverage",
 ]
 
 

@@ -836,3 +836,108 @@ SELECT b.doc_id,
 FROM b2 b
 LEFT JOIN recon r USING (doc_id)
 """
+
+
+# --- cross-source overlap matrix ---------------------------------------------
+
+
+def source_overlap_matrix(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    materialize: bool = True,
+) -> DataFrame:
+    """Exact pairwise gram-Jaccard between provenances (which crawls /
+    dumps / feeds duplicate each other?) — the curation analytics that
+    decides which source to drop when two overlap heavily, computed
+    WITHOUT enumerating doc pairs: per-source DISTINCT gram sets, then
+    |A ∩ B| from a gram-keyed self-join and |A ∪ B| = |A| + |B| − |A ∩ B|.
+
+    Scale shape: the corpus collapses to DISTINCT (source, gram-hash)
+    rows in one partial+final aggregate — vocabulary-sized, not
+    corpus-sized; the self-join is keyed on the 60-bit gram hash, whose
+    fan-out per gram is bounded by the number of sources carrying it
+    (pairs emerge SPARSELY from shared grams — no |sources|^2 scan);
+    the pair counts and size lookups are tiny final aggregates. Only
+    source pairs sharing at least one gram appear (identical in both
+    engines by construction).
+
+    `materialize=True` localCheckpoints the distinct gram rows — the
+    bounded intermediate all three branches (sizes, both join sides)
+    consume (the ngram_jaccard_pairs rule; same storage-lifetime caveat:
+    long-lived sessions should session.clear_persistent_rdds after the
+    result is materialized)."""
+    from geotiff_tiler_spark.functions.hashing import portable_hash64
+
+    sg = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(F.array_distinct(T.shingles(text_col, k))).alias("g"),
+        )
+        .select("src", portable_hash64("g").alias("gh"))
+        .distinct()
+    )
+    if materialize:
+        sg = sg.localCheckpoint(eager=False)
+    sizes = sg.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = sg.withColumnRenamed("src", "s1")
+    b = sg.withColumnRenamed("src", "s2")
+    inter = (
+        a.join(b, "gh")
+        .filter(F.col("s1") < F.col("s2"))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("src", "s1").withColumnRenamed("n", "n_a"), "s1")
+        .join(sizes.withColumnRenamed("src", "s2").withColumnRenamed("n", "n_b"), "s2")
+        .select(
+            "s1",
+            "s2",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.col("n_inter").cast("bigint").alias("n_inter"),
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                9,
+            ).alias("jaccard"),
+        )
+    )
+
+
+def source_overlap_sql(
+    source_expr: str = "source",
+    text_expr: str = "text",
+    k: int = SHINGLE_K,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`source_overlap_matrix` — same shared
+    shingles_sql + portable gram hash, same sparse pair emission."""
+    from geotiff_tiler_spark.functions.hashing import portable_hash64_sql
+
+    sh = T.shingles_sql(text_expr, k)
+    gh = portable_hash64_sql("t.g")
+    return f"""
+WITH sg AS (
+  SELECT DISTINCT {source_expr} AS src, {gh} AS gh
+  FROM (SELECT {source_expr}, unnest(list_distinct({sh})) AS g FROM {table}) t({source_expr}, g)
+),
+sizes AS (
+  SELECT src, COUNT(*) AS n FROM sg GROUP BY src
+),
+pairs AS (
+  SELECT a.src AS s1, b.src AS s2, COUNT(*) AS n_inter
+  FROM sg a JOIN sg b ON a.gh = b.gh AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT p.s1, p.s2,
+       CAST(x.n AS BIGINT) AS n_a,
+       CAST(y.n AS BIGINT) AS n_b,
+       CAST(p.n_inter AS BIGINT) AS n_inter,
+       round(p.n_inter::DOUBLE / (x.n + y.n - p.n_inter), 9) AS jaccard
+FROM pairs p
+JOIN sizes x ON p.s1 = x.src
+JOIN sizes y ON p.s2 = y.src
+"""

@@ -257,3 +257,99 @@ per_doc AS (
 )
 SELECT {id_col}, n_tokens, {nll_final_expr_sql()} AS nll FROM per_doc
 """
+
+
+# --- vocabulary coverage ------------------------------------------------------
+
+VOCAB_TOP_K = 100
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    top_k: int = VOCAB_TOP_K,
+) -> DataFrame:
+    """Vocabulary coverage per group: what fraction of all token
+    OCCURRENCES is covered by the group's `top_k` most frequent terms —
+    the tokenizer-design / boilerplate-density statistic (a high top-100
+    share means the corpus is dominated by few types; the number drives
+    vocab-size choices and flags template-heavy sources).
+
+    Scale shape: token occurrences collapse to (group, term) counts in
+    one partial+final aggregate (vocabulary-sized, map-side combined);
+    the top-k selection rides skew.bounded_topk — partial top-k per
+    (group, term-hash bucket), final over the survivors — so no task
+    ever sorts a group's whole vocabulary (the q42 lesson); totals and
+    the covered sum are tiny final aggregates. Ties broken by term ASC
+    (total order — both engines rank identically).
+
+    Output per group: n_types (distinct terms), n_tokens (occurrences),
+    covered (occurrences of the top-k terms), coverage (round 9)."""
+    from geotiff_tiler_spark.functions import text as T
+    from geotiff_tiler_spark.operators import skew
+
+    occ = docs.select(
+        *group_cols, F.explode(T.tokens(text_col)).alias("term")
+    )
+    tf = occ.groupBy(*group_cols, "term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = skew.bounded_topk(
+        tf,
+        part_cols=list(group_cols),
+        order_cols=[F.col("cnt").desc(), F.col("term").asc()],
+        k=top_k,
+        bucket_from="term",
+    )
+    totals = tf.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("cnt").alias("n_tokens"),
+    )
+    covered = top.groupBy(*group_cols).agg(F.sum("cnt").alias("covered"))
+    return totals.join(covered, list(group_cols)).select(
+        *group_cols,
+        F.col("n_types").cast("bigint").alias("n_types"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("covered").cast("bigint").alias("covered"),
+        F.round(F.col("covered").cast("double") / F.col("n_tokens"), 9).alias(
+            "coverage"
+        ),
+    )
+
+
+def vocab_coverage_sql(
+    group_expr: str,
+    text_expr: str = "text",
+    top_k: int = VOCAB_TOP_K,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`vocab_coverage` — same shared tokenizer and
+    the plain ROW_NUMBER top-k (output-identical to the bounded form)."""
+    from geotiff_tiler_spark.functions import text as T
+
+    toks = T.tokens_sql(text_expr)
+    return f"""
+WITH occ AS (
+  SELECT {group_expr} AS g, t.term FROM
+    (SELECT {group_expr}, unnest({toks}) AS term FROM {table}) t({group_expr}, term)
+),
+tf AS (
+  SELECT g, term, COUNT(*) AS cnt FROM occ GROUP BY 1, 2
+),
+ranked AS (
+  SELECT g, cnt,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY cnt DESC, term ASC) AS rn
+  FROM tf
+),
+totals AS (
+  SELECT g, COUNT(*) AS n_types, SUM(cnt) AS n_tokens FROM tf GROUP BY g
+),
+cov AS (
+  SELECT g, SUM(cnt) AS covered FROM ranked WHERE rn <= {top_k} GROUP BY g
+)
+SELECT t.g AS {group_expr},
+       CAST(t.n_types AS BIGINT) AS n_types,
+       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       CAST(c.covered AS BIGINT) AS covered,
+       round(c.covered::DOUBLE / t.n_tokens, 9) AS coverage
+FROM totals t JOIN cov c ON t.g = c.g
+"""

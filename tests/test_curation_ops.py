@@ -196,3 +196,66 @@ def test_robust_gate_flags_injected_outlier(spark):
     df = spark.createDataFrame(rows, ["doc_id", "lang", "n_chars"])
     out = quantiles.robust_outlier_gate(df, ["lang"], "n_chars").collect()[0]
     assert out["n_out"] == 1 and out["n_rows"] == 41
+
+
+# --- source overlap matrix ----------------------------------------------------
+
+
+def _py_shingle_hashes(text, k=3):
+    toks = text.split()
+    segs = {" ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))}
+    return {int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in segs}
+
+
+def test_source_overlap_python_oracle(spark, docs):
+    got = {
+        (r["s1"], r["s2"]): (r["n_a"], r["n_b"], r["n_inter"], r["jaccard"])
+        for r in dedup.source_overlap_matrix(docs).collect()
+    }
+    by_src = {}
+    for r in docs.select("source", "text").collect():
+        by_src.setdefault(r["source"], set()).update(_py_shingle_hashes(r["text"]))
+    want = {}
+    for s1 in by_src:
+        for s2 in by_src:
+            if s1 < s2:
+                inter = len(by_src[s1] & by_src[s2])
+                if inter:
+                    want[(s1, s2)] = (
+                        len(by_src[s1]),
+                        len(by_src[s2]),
+                        inter,
+                        round(inter / len(by_src[s1] | by_src[s2]), 9),
+                    )
+    assert got == want and len(got) > 0
+
+
+def test_source_overlap_lazy_plan_matches(spark, docs):
+    a = sorted(map(tuple, dedup.source_overlap_matrix(docs, materialize=False).collect()))
+    b = sorted(map(tuple, dedup.source_overlap_matrix(docs).collect()))
+    assert a == b
+
+
+# --- vocabulary coverage --------------------------------------------------------
+
+
+def test_vocab_coverage_python_oracle(spark, docs):
+    from geotiff_tiler_spark.operators import rank
+
+    k = 5
+    got = {
+        r["lang"]: (r["n_types"], r["n_tokens"], r["covered"], r["coverage"])
+        for r in rank.vocab_coverage(docs, ["lang"], top_k=k).collect()
+    }
+    counts = {}
+    for r in docs.select("lang", "text").collect():
+        c = counts.setdefault(r["lang"], {})
+        for t in r["text"].split():
+            c[t] = c.get(t, 0) + 1
+    for lang, c in counts.items():
+        top = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        covered = sum(v for _, v in top)
+        total = sum(c.values())
+        want = (len(c), total, covered, round(covered / total, 9))
+        assert got[lang] == want, (lang, got[lang], want)
+    assert set(got) == set(counts)
