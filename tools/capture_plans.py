@@ -121,6 +121,26 @@ def main() -> None:
         ("Greedy LSH dedup-keep (q50: bucket-min window + all-bands-won "
          "agg — NO join, no pair materialization at any point)",
          e.q50_lsh_keep(spark, SF)),
+        ("Segment dedup with reconstruction (q55: tokenizer in its OWN "
+         "projection — the segment transform references the _t attribute, "
+         "never an inlined split; posexplode_outer avoids the inferred "
+         "size>0 filter that would inline it; left-anti removal on 60-bit "
+         "hashes; bounded per-doc rebuild)",
+         e.q55_segment_dedup(spark, SF)),
+        ("Mixture resampling (q56: corpus NEVER shuffles — tiny per-lang "
+         "count agg, broadcast rate table, map-side Bernoulli filter)",
+         e.q56_mixture_resample(spark, SF)),
+        ("Robust MAD outlier gate (q57: two bounded histogram aggregates, "
+         "tiny (median, MAD) tables broadcast back, integer flag)",
+         e.q57_length_outliers(spark, SF)),
+        ("Source overlap matrix (q58: corpus collapses to distinct "
+         "(source, gram-hash) rows; pairs emerge sparsely from the "
+         "gram-keyed self-join — no |sources|^2 stage)",
+         e.q58_source_overlap(spark, SF)),
+        ("Vocabulary coverage (q59: map-side-combined term counts; top-k "
+         "via the bounded two-stage window — no vocabulary-sized sort "
+         "partition)",
+         e.q59_vocab_coverage(spark, SF)),
     ]
     bucketed_agg, bucketed_join = _bucketed_plans(spark, docs)
     sections += [
