@@ -259,3 +259,14 @@ def test_vocab_coverage_python_oracle(spark, docs):
         want = (len(c), total, covered, round(covered / total, 9))
         assert got[lang] == want, (lang, got[lang], want)
     assert set(got) == set(counts)
+
+
+def test_mixture_resample_rates_join_is_broadcast(spark, docs):
+    """The corpus-side filter must see the rate table as a broadcast —
+    a shuffled join here would move the whole corpus by stratum at scale."""
+    kept = sampling.mixture_resample(
+        docs, "lang", "doc_id", {"en": 4, "zh": 2, "de": 1, "fr": 1, "es": 1}
+    )
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
