@@ -847,6 +847,7 @@ def source_overlap_matrix(
     text_col: str = "text",
     k: int = SHINGLE_K,
     materialize: bool = True,
+    max_sources_per_gram: int | None = None,
 ) -> DataFrame:
     """Exact pairwise gram-Jaccard between provenances (which crawls /
     dumps / feeds duplicate each other?) — the curation analytics that
@@ -867,7 +868,18 @@ def source_overlap_matrix(
     bounded intermediate all three branches (sizes, both join sides)
     consume (the ngram_jaccard_pairs rule; same storage-lifetime caveat:
     long-lived sessions should session.clear_persistent_rdds after the
-    result is materialized)."""
+    result is materialized).
+
+    `max_sources_per_gram`: the one quadratic residue in this shape is a
+    UBIQUITOUS gram — carried by m sources it emits m(m-1)/2 pair rows,
+    harmless at m=20 but ~5e7 rows for one gram at m=10^4 provenances.
+    Setting the cap drops grams carried by more than m sources BEFORE
+    the self-join (a per-gram count + semi-join, all on 8-byte keys) —
+    the standard boilerplate-gram exclusion; such grams say nothing
+    about PAIRWISE affinity precisely because everyone has them. The
+    exclusion changes the statistic, so the default (None) keeps the
+    exact matrix — at bounded source counts (the q58 contract) the exact
+    form is the right one."""
     from geotiff_tiler_spark.functions.hashing import portable_hash64
 
     sg = (
@@ -881,8 +893,17 @@ def source_overlap_matrix(
     if materialize:
         sg = sg.localCheckpoint(eager=False)
     sizes = sg.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
-    a = sg.withColumnRenamed("src", "s1")
-    b = sg.withColumnRenamed("src", "s2")
+    paired = sg
+    if max_sources_per_gram is not None:
+        rare = (
+            sg.groupBy("gh")
+            .agg(F.count(F.lit(1)).alias("_m"))
+            .filter(F.col("_m") <= max_sources_per_gram)
+            .select("gh")
+        )
+        paired = sg.join(rare, "gh", "left_semi")
+    a = paired.withColumnRenamed("src", "s1")
+    b = paired.withColumnRenamed("src", "s2")
     inter = (
         a.join(b, "gh")
         .filter(F.col("s1") < F.col("s2"))

@@ -270,3 +270,33 @@ def test_mixture_resample_rates_join_is_broadcast(spark, docs):
     plan = kept._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_overlap_ubiquitous_gram_cap(spark):
+    """max_sources_per_gram drops grams carried by more than m sources
+    BEFORE the self-join (the quadratic-residue guard): the shared
+    boilerplate gram stops contributing to n_inter; set sizes stay exact."""
+    boiler = "the same old header"  # one 3-shingle window per doc... per source
+    rows = []
+    for i, src in enumerate(["s1", "s2", "s3", "s4"]):
+        rows.append((i, src, boiler + f" unique{i} tail{i} x{i}"))
+    # s1/s2 additionally share a private gram chain
+    rows.append((10, "s1", "alpha beta gamma delta"))
+    rows.append((11, "s2", "alpha beta gamma delta"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    full = {
+        (r["s1"], r["s2"]): r["n_inter"]
+        for r in dedup.source_overlap_matrix(df).collect()
+    }
+    capped = {
+        (r["s1"], r["s2"]): r["n_inter"]
+        for r in dedup.source_overlap_matrix(df, max_sources_per_gram=3).collect()
+    }
+    # boilerplate grams span all 4 sources -> excluded everywhere at cap 3;
+    # the private s1/s2 chain (2 sources) survives
+    assert ("s1", "s2") in capped
+    assert capped[("s1", "s2")] < full[("s1", "s2")]
+    assert capped[("s1", "s2")] == 2  # 'alpha beta gamma', 'beta gamma delta'
+    for pair in full:
+        if pair != ("s1", "s2"):
+            assert pair not in capped  # only boilerplate connected them
