@@ -933,24 +933,42 @@ def source_overlap_sql(
     text_expr: str = "text",
     k: int = SHINGLE_K,
     table: str = "documents",
+    max_sources_per_gram: int | None = None,
 ) -> str:
     """DuckDB twin of :func:`source_overlap_matrix` — same shared
-    shingles_sql + portable gram hash, same sparse pair emission."""
+    shingles_sql + portable gram hash, same sparse pair emission.
+    `max_sources_per_gram` mirrors the Spark cap EXACTLY: sizes stay
+    UNCAPPED (per-source distinct gram counts over the full sg), only
+    the pair-emitting self-join is restricted to grams carried by <= m
+    sources — so jaccard under the cap is n_inter_capped / union_full,
+    identically in both engines."""
     from geotiff_tiler_spark.functions.hashing import portable_hash64_sql
 
     sh = T.shingles_sql(text_expr, k)
     gh = portable_hash64_sql("t.g")
+    if max_sources_per_gram is None:
+        paired = "sg"
+        cap_cte = ""
+    else:
+        cap_cte = f"""
+rare AS (
+  SELECT gh FROM sg GROUP BY gh HAVING COUNT(*) <= {int(max_sources_per_gram)}
+),
+paired AS (
+  SELECT sg.* FROM sg JOIN rare USING (gh)
+),"""
+        paired = "paired"
     return f"""
 WITH sg AS (
   SELECT DISTINCT {source_expr} AS src, {gh} AS gh
   FROM (SELECT {source_expr}, unnest(list_distinct({sh})) AS g FROM {table}) t({source_expr}, g)
-),
+),{cap_cte}
 sizes AS (
   SELECT src, COUNT(*) AS n FROM sg GROUP BY src
 ),
 pairs AS (
   SELECT a.src AS s1, b.src AS s2, COUNT(*) AS n_inter
-  FROM sg a JOIN sg b ON a.gh = b.gh AND a.src < b.src
+  FROM {paired} a JOIN {paired} b ON a.gh = b.gh AND a.src < b.src
   GROUP BY 1, 2
 )
 SELECT p.s1, p.s2,

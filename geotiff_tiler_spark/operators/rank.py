@@ -353,3 +353,146 @@ SELECT t.g AS {group_expr},
        round(c.covered::DOUBLE / t.n_tokens, 9) AS coverage
 FROM totals t JOIN cov c ON t.g = c.g
 """
+
+
+# --- bigram lift (collocation / boilerplate-template mining) -----------------
+
+LIFT_MIN_COUNT = 5
+
+
+def _lift_expr_sql(c12: str, c1: str, c2: str, n: str) -> str:
+    """Shared lift formula: (c12/N) / ((c1/N)*(c2/N)) = c12*N / (c1*c2),
+    evaluated as ONE double multiply + one double divide over exact
+    bigint counts — both IEEE-correctly-rounded ops, so the double is
+    BIT-IDENTICAL across engines (no libm call; PMI would be ln(lift),
+    and ln is the one op the engines may round differently — the q47
+    lesson — so the op ranks and reports the lift itself).
+    Products are formed double-side (c12*N and c1*c2 can overflow int64
+    at 100-TB corpus sizes; doubles lose no ordering information here
+    because both engines compute the identical rounded values)."""
+    return (
+        f"(CAST({c12} AS DOUBLE) * CAST({n} AS DOUBLE))"
+        f" / (CAST({c1} AS DOUBLE) * CAST({c2} AS DOUBLE))"
+    )
+
+
+def bigram_lift_topk(
+    docs: DataFrame,
+    group_cols: list[str],
+    text_col: str = "text",
+    k: int = 10,
+    min_count: int = LIFT_MIN_COUNT,
+) -> DataFrame:
+    """Top-k bigram collocations per group by LIFT — observed bigram
+    frequency over the frequency expected if its two words were
+    independent (PMI's exponential; the collocation-mining statistic
+    that separates real phrases and boilerplate templates from chance
+    co-occurrence, which raw counts — q42 — cannot).
+
+    Scale shape: token occurrences and bigram occurrences each collapse
+    to (group, term)-keyed counts in one partial+final map-side-combined
+    aggregate (vocabulary-sized, never corpus-sized); the two unigram
+    lookups are equi-joins keyed on (group, word) between
+    vocabulary-sized sides (AQE broadcasts the contract-scale ones); the
+    min_count gate prunes the hapax tail BEFORE the joins; and the final
+    top-k rides skew.bounded_topk so no task sorts a group's whole
+    vocabulary (the q42 lesson). Ranking ties broken by bigram ASC —
+    total order, identical in both engines (lift doubles are
+    bit-identical, see _lift_expr_sql).
+
+    Output per group: rank, bigram, n (bigram count), c1, c2 (word
+    counts), lift (round 9)."""
+    from geotiff_tiler_spark.operators import skew
+
+    occ = docs.select(*group_cols, F.explode(T.tokens(text_col)).alias("w"))
+    uni = occ.groupBy(*group_cols, "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = uni.groupBy(*group_cols).agg(F.sum("c").alias("n_tok"))
+    bg = docs.select(
+        *group_cols, F.explode(T.shingles(text_col, 2)).alias("bigram")
+    )
+    cnt = (
+        bg.groupBy(*group_cols, "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .withColumn("w1", F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)))
+    )
+    scored = (
+        cnt.join(
+            uni.select(*group_cols, F.col("w").alias("w1"), F.col("c").alias("c1")),
+            [*group_cols, "w1"],
+        )
+        .join(
+            uni.select(*group_cols, F.col("w").alias("w2"), F.col("c").alias("c2")),
+            [*group_cols, "w2"],
+        )
+        .join(F.broadcast(totals), list(group_cols))
+        .withColumn("_lift", F.expr(_lift_expr_sql("n", "c1", "c2", "n_tok")))
+    )
+    return skew.bounded_topk(
+        scored,
+        part_cols=list(group_cols),
+        order_cols=[F.col("_lift").desc(), F.col("bigram").asc()],
+        k=k,
+        bucket_from="bigram",
+    ).select(
+        *group_cols,
+        "rank",
+        "bigram",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("c1").cast("bigint").alias("c1"),
+        F.col("c2").cast("bigint").alias("c2"),
+        F.round("_lift", 9).alias("lift"),
+    )
+
+
+def bigram_lift_topk_sql(
+    group_expr: str,
+    text_expr: str = "text",
+    k: int = 10,
+    min_count: int = LIFT_MIN_COUNT,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bigram_lift_topk` — same shared tokenizer /
+    shingle / lift expressions, plain ROW_NUMBER top-k (output-identical
+    to the bounded form)."""
+    toks = T.tokens_sql(text_expr)
+    sh2 = T.shingles_sql(text_expr, 2)
+    lift = _lift_expr_sql("b.n", "u1.c", "u2.c", "t.n_tok")
+    return f"""
+WITH occ AS (
+  SELECT {group_expr} AS g, t.w FROM
+    (SELECT {group_expr}, unnest({toks}) AS w FROM {table}) t({group_expr}, w)
+),
+uni AS (
+  SELECT g, w, COUNT(*) AS c FROM occ GROUP BY 1, 2
+),
+totals AS (
+  SELECT g, SUM(c) AS n_tok FROM uni GROUP BY g
+),
+bg AS (
+  SELECT g, bigram, COUNT(*) AS n FROM
+    (SELECT {group_expr} AS g, unnest({sh2}) AS bigram FROM {table}) t(g, bigram)
+  GROUP BY 1, 2 HAVING COUNT(*) >= {min_count}
+),
+scored AS (
+  SELECT b.g, b.bigram, b.n, u1.c AS c1, u2.c AS c2, {lift} AS lift_d
+  FROM bg b
+  JOIN uni u1 ON b.g = u1.g AND split_part(b.bigram, ' ', 1) = u1.w
+  JOIN uni u2 ON b.g = u2.g AND split_part(b.bigram, ' ', 2) = u2.w
+  JOIN totals t ON b.g = t.g
+),
+ranked AS (
+  SELECT g, bigram, n, c1, c2, lift_d,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY lift_d DESC, bigram ASC) AS rn
+  FROM scored
+)
+SELECT g AS {group_expr},
+       CAST(rn AS BIGINT) AS rank,
+       bigram,
+       CAST(n AS BIGINT) AS n,
+       CAST(c1 AS BIGINT) AS c1,
+       CAST(c2 AS BIGINT) AS c2,
+       round(lift_d, 9) AS lift
+FROM ranked WHERE rn <= {k}
+"""

@@ -300,3 +300,31 @@ def test_source_overlap_ubiquitous_gram_cap(spark):
     for pair in full:
         if pair != ("s1", "s2"):
             assert pair not in capped  # only boilerplate connected them
+
+
+def test_source_overlap_capped_sql_twin_and_contract_bite(spark, docs):
+    """q60's oracle (source_overlap_sql with the cap) must match the Spark
+    capped matrix row-for-row on the contract corpus, AND the cap must
+    actually bite there — if a regenerated corpus ever stops carrying
+    grams spread over >4 sources, q60 silently degenerates into q58 and
+    this fails loudly instead."""
+    cap = 4
+    sp = {
+        (r["s1"], r["s2"]): (r["n_a"], r["n_b"], r["n_inter"], r["jaccard"])
+        for r in dedup.source_overlap_matrix(docs, max_sources_per_gram=cap).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'"
+    )
+    du = {
+        (s1, s2): (na, nb, ni, j)
+        for s1, s2, na, nb, ni, j in con.execute(
+            dedup.source_overlap_sql(max_sources_per_gram=cap)
+        ).fetchall()
+    }
+    assert sp == du
+    full_inter = sum(
+        r["n_inter"] for r in dedup.source_overlap_matrix(docs).collect()
+    )
+    assert sum(v[2] for v in sp.values()) < full_inter
