@@ -980,3 +980,97 @@ FROM pairs p
 JOIN sizes x ON p.s1 = x.src
 JOIN sizes y ON p.s2 = y.src
 """
+
+
+def source_novelty(
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    materialize: bool = True,
+) -> DataFrame:
+    """Incremental novelty per provenance: processing sources in
+    deterministic id order (lexicographic on the source id — the stand-in
+    for crawl order), what fraction of a source's distinct grams was
+    never seen in ANY earlier source? The diminishing-returns curve of
+    adding one more dump — the complement of the pairwise overlap matrix
+    (source_overlap_matrix tells you WHO duplicates whom; this tells you
+    what each source still ADDS).
+
+    Scale shape: the corpus collapses to DISTINCT (source, gram-hash)
+    rows in one partial+final aggregate (vocabulary-sized); each gram's
+    FIRST carrier is one more map-side-combined min() keyed on the
+    8-byte gram hash; per-source totals and novel counts are tiny final
+    aggregates. No join is corpus-sized and nothing is quadratic —
+    unlike the overlap matrix, novelty has no ubiquitous-gram residue
+    (every gram contributes exactly one novel row regardless of spread).
+
+    `materialize` localCheckpoints the distinct gram rows consumed by
+    both branches (the source_overlap_matrix rule).
+
+    Output per source: n_grams (distinct), n_novel (grams it introduces),
+    novelty (round 9). Invariant: sum(n_novel) == |distinct grams|."""
+    from geotiff_tiler_spark.functions.hashing import portable_hash64
+
+    sg = (
+        docs.select(
+            F.col(source_col).alias("src"),
+            F.explode(F.array_distinct(T.shingles(text_col, k))).alias("g"),
+        )
+        .select("src", portable_hash64("g").alias("gh"))
+        .distinct()
+    )
+    if materialize:
+        sg = sg.localCheckpoint(eager=False)
+    sizes = sg.groupBy("src").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        sg.groupBy("gh")
+        .agg(F.min("src").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        sizes.join(novel, "src", "left")
+        .select(
+            "src",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("bigint").alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                9,
+            ).alias("novelty"),
+        )
+    )
+
+
+def source_novelty_sql(
+    source_expr: str = "source",
+    text_expr: str = "text",
+    k: int = SHINGLE_K,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`source_novelty` — same shared shingles_sql +
+    portable gram hash, same first-carrier min()."""
+    from geotiff_tiler_spark.functions.hashing import portable_hash64_sql
+
+    sh = T.shingles_sql(text_expr, k)
+    gh = portable_hash64_sql("t.g")
+    return f"""
+WITH sg AS (
+  SELECT DISTINCT {source_expr} AS src, {gh} AS gh
+  FROM (SELECT {source_expr}, unnest(list_distinct({sh})) AS g FROM {table}) t({source_expr}, g)
+),
+sizes AS (
+  SELECT src, COUNT(*) AS n_grams FROM sg GROUP BY src
+),
+novel AS (
+  SELECT src, COUNT(*) AS n_novel FROM
+    (SELECT gh, MIN(src) AS src FROM sg GROUP BY gh) GROUP BY src
+)
+SELECT s.src,
+       CAST(s.n_grams AS BIGINT) AS n_grams,
+       CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+       round(COALESCE(n.n_novel, 0)::DOUBLE / s.n_grams, 9) AS novelty
+FROM sizes s LEFT JOIN novel n ON s.src = n.src
+"""

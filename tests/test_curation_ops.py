@@ -328,3 +328,31 @@ def test_source_overlap_capped_sql_twin_and_contract_bite(spark, docs):
         r["n_inter"] for r in dedup.source_overlap_matrix(docs).collect()
     )
     assert sum(v[2] for v in sp.values()) < full_inter
+
+
+def test_source_novelty_python_oracle_and_invariant(spark, docs):
+    """Independent recomputation of first-carrier novelty, plus the
+    structural invariant: every distinct gram is novel to exactly one
+    source, so sum(n_novel) == |distinct grams|."""
+    out = {
+        r["src"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in dedup.source_novelty(docs).collect()
+    }
+    rows = docs.select("source", "text").collect()
+    per_src: dict[str, set] = {}
+    for r in rows:
+        toks = [t for t in r["text"].strip().split() if t]
+        grams = {
+            " ".join(toks[i : i + 3]) for i in range(max(len(toks) - 2, 0))
+        }
+        per_src.setdefault(r["source"], set()).update(grams)
+    all_grams: dict[str, str] = {}
+    for src in sorted(per_src):
+        for g in per_src[src]:
+            all_grams.setdefault(g, src)
+    expect = {}
+    for src, grams in per_src.items():
+        novel = sum(1 for g in grams if all_grams[g] == src)
+        expect[src] = (len(grams), novel, round(novel / len(grams), 9))
+    assert out == expect
+    assert sum(v[1] for v in out.values()) == len(all_grams)

@@ -107,3 +107,61 @@ def test_unigram_nll_partition_invariant(spark, docs):
     assert [(r.doc_id, r.n_tokens, r.nll) for r in a] == [
         (r.doc_id, r.n_tokens, r.nll) for r in b
     ]
+
+
+# --- bigram lift --------------------------------------------------------------
+
+
+def test_bigram_lift_matches_python_reference(spark):
+    """Exact lift recomputation: counts from scratch, IEEE order mirrored
+    (c12*N as one multiply, c1*c2 as one multiply, one divide)."""
+    rows = [
+        (0, "en", "new york new york city hall"),
+        (1, "en", "the city of new york is a city"),
+        (2, "en", "york new haven city new york"),
+        (3, "en", "hall of the city new york hall"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    out = {
+        (r["lang"], r["bigram"]): (r["rank"], r["n"], r["c1"], r["c2"], r["lift"])
+        for r in rank.bigram_lift_topk(df, ["lang"], k=5, min_count=2).collect()
+    }
+    toks = [t for _, _, tx in rows for t in tx.split()]
+    n_tok = len(toks)
+    uni = {}
+    for t in toks:
+        uni[t] = uni.get(t, 0) + 1
+    bg = {}
+    for _, _, tx in rows:
+        ts = tx.split()
+        for i in range(len(ts) - 1):
+            k2 = f"{ts[i]} {ts[i+1]}"
+            bg[k2] = bg.get(k2, 0) + 1
+    scored = []
+    for b, c12 in bg.items():
+        if c12 < 2:
+            continue
+        w1, w2 = b.split(" ")
+        lift = (float(c12) * float(n_tok)) / (float(uni[w1]) * float(uni[w2]))
+        scored.append((b, c12, uni[w1], uni[w2], lift))
+    scored.sort(key=lambda r: (-r[4], r[0]))
+    expect = {
+        ("en", b): (i + 1, c12, c1, c2, round(lift, 9))
+        for i, (b, c12, c1, c2, lift) in enumerate(scored[:5])
+    }
+    assert out == expect
+    # the collocation ('new york') must out-rank a merely frequent pair
+    assert out[("en", "new york")][4] > 1.0
+
+
+def test_bigram_lift_min_count_prunes_before_join(spark, docs):
+    """Plan property: the hapax gate (n >= min_count) must sit BELOW the
+    unigram joins — pruning the vocabulary-sized bigram side before any
+    shuffle-or-broadcast join work."""
+    out = rank.bigram_lift_topk(docs, ["lang"], k=3, min_count=5)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    join_pos = plan.find("Join ")
+    filt_pos = plan.find(">= 5)")
+    assert join_pos != -1, plan
+    # deeper in the tree = later in the string: the gate is below the join
+    assert filt_pos > join_pos, plan
