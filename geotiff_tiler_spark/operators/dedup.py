@@ -1074,3 +1074,57 @@ SELECT s.src,
        round(COALESCE(n.n_novel, 0)::DOUBLE / s.n_grams, 9) AS novelty
 FROM sizes s LEFT JOIN novel n ON s.src = n.src
 """
+
+
+def segment_occurrences(
+    df: DataFrame,
+    text_col: str = "text",
+    w: int = SEGMENT_W,
+    id_col: str = "doc_id",
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """(id, [extra...], n_seg, idx, seg, gh) rows — the segmentization of
+    :func:`segment_dedup` factored out so the STREAMING twin
+    (streaming.ingest.streaming_segment_strip) emits byte-identical
+    segments to the batch operator. Same hot-path rules: the token array
+    is referenced more than once so the tokenizer runs once per row, and
+    posexplode_OUTER avoids InferFiltersFromGenerate inlining the whole
+    segment expression into an inferred size() predicate (semantically
+    identical under the size(_t) > 0 pre-filter)."""
+    from geotiff_tiler_spark.functions.hashing import portable_hash64
+
+    base = df.select(id_col, *extra_cols, T.tokens(text_col).alias("_t")).filter(
+        F.size("_t") > 0
+    )
+    n_seg = F.floor((F.size("_t") + F.lit(w - 1)) / F.lit(w))
+    segs = base.select(
+        id_col,
+        *extra_cols,
+        F.transform(
+            F.sequence(F.lit(0), (n_seg - F.lit(1)).cast("int")),
+            lambda i: F.array_join(F.slice(F.col("_t"), i * w + 1, w), " "),
+        ).alias("_segs"),
+    )
+    return segs.select(
+        id_col,
+        *extra_cols,
+        F.size("_segs").cast("bigint").alias("n_seg"),
+        F.posexplode_outer("_segs").alias("idx", "seg"),
+    ).withColumn("gh", portable_hash64("seg"))
+
+
+def duplicate_segment_dict(
+    docs: DataFrame, text_col: str = "text", w: int = SEGMENT_W
+) -> DataFrame:
+    """The corpus-wide duplicate-segment dictionary (gh rows with
+    occurrence count > 1) — the static side of the stream-static
+    boilerplate-strip join. One partial+final count(*) on the 60-bit
+    segment hash; dictionary-sized (distinct duplicated segments), never
+    corpus-sized."""
+    return (
+        segment_occurrences(docs, text_col, w)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )

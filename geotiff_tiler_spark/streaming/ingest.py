@@ -285,3 +285,80 @@ def stream_label_tile_counts(
             "n_hits",
         )
     )
+
+
+def streaming_segment_strip(
+    pages: DataFrame,
+    dup_dict: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "warc_ts",
+    watermark: str = "30 minutes",
+    window_size: str = "1 hour",
+    w: int | None = None,
+) -> DataFrame:
+    """Streaming boilerplate strip: the segment-dedup EDIT
+    (dedup.segment_dedup) as a continuous-crawl operator. The
+    duplicate-segment dictionary comes from the at-rest corpus
+    (dedup.duplicate_segment_dict — dictionary-sized, broadcast), so the
+    stream side is a pure map + ONE stream-static broadcast join + ONE
+    windowed aggregation:
+
+      1. segmentize each arriving page with the EXACT batch expressions
+         (dedup.segment_occurrences — byte-identical segments/hashes);
+      2. mark dictionary hits via a stream-static LEFT join against the
+         broadcast dictionary (not stateful — no state grows with the
+         dictionary);
+      3. reconstruct per doc when its event-time window closes: nulls
+         from the dictionary-hit rows vanish inside collect_list, so the
+         surviving segments re-join in order exactly like the batch
+         operator; a doc whose every segment is boilerplate still emits
+         (n_kept=0, clean_md5 of ''), because its rows reach the window
+         regardless of dictionary hits.
+
+    Batch parity (asserted in tests): over the same input and the same
+    dictionary, the emitted rows equal dedup.segment_dedup's output
+    projected to (doc_id, n_seg, n_kept, kept_frac, clean_md5).
+    Freshness caveat: segments that become duplicated only AFTER the
+    dictionary snapshot are not stripped — refresh the dictionary
+    per-batch via foreachBatch when the corpus itself is the stream."""
+    from geotiff_tiler_spark.operators import dedup
+
+    w = w if w is not None else dedup.SEGMENT_W
+    occ = dedup.segment_occurrences(
+        pages, text_col=text_col, w=w, id_col=id_col, extra_cols=(ts_col,)
+    )
+    marked = occ.join(
+        F.broadcast(dup_dict.select("gh").withColumn("_dup", F.lit(1))),
+        "gh",
+        "left",
+    )
+    kept_struct = F.when(
+        F.col("_dup").isNull(), F.struct(F.col("idx"), F.col("seg"))
+    )
+    agg = (
+        marked.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_size), F.col(id_col))
+        .agg(
+            F.max("n_seg").alias("n_seg"),
+            F.sum(F.when(F.col("_dup").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["seg"],
+                ),
+                " ",
+            ).alias("_clean"),
+        )
+    )
+    return agg.select(
+        id_col,
+        "n_seg",
+        "n_kept",
+        F.round(F.col("n_kept").cast("double") / F.col("n_seg"), 9).alias(
+            "kept_frac"
+        ),
+        F.md5(F.col("_clean")).alias("clean_md5"),
+    )

@@ -438,3 +438,57 @@ def test_streaming_neardup_keep_matches_batch(spark, tmp_path_factory):
     assert got == want
     assert got  # non-trivial: the synthetic clones guarantee drops too
     assert len(got) < n  # doc_id % 17 == 16 exact clones must be dropped
+
+
+def test_streaming_segment_strip_matches_batch(spark, tmp_path_factory):
+    """Streaming boilerplate strip (stream-static broadcast dictionary +
+    windowed reconstruction) equals the batch segment_dedup over the same
+    input and dictionary. Far-future flush row closes every real doc's
+    window; its own window never closes so it is excluded by
+    construction."""
+    from geotiff_tiler_spark.operators import dedup
+
+    base = str(tmp_path_factory.mktemp("stream_segstrip"))
+    src = f"{base}/src"
+    n = 120
+    flush_id = n
+    pg = pages.synth_pages(spark, n + 1).withColumn(
+        "warc_ts",
+        F.when(
+            F.col("doc_id") == flush_id,
+            F.timestamp_seconds(F.lit(pages.BASE_EPOCH + 30 * 86400)),
+        ).otherwise(F.timestamp_seconds(F.lit(pages.BASE_EPOCH) + F.col("doc_id"))),
+    )
+    pg.repartition(1).sortWithinPartitions("doc_id").write.parquet(src)
+
+    docs = spark.read.parquet(src).filter(F.col("doc_id") < flush_id)
+    dictionary = dedup.duplicate_segment_dict(docs)
+
+    stream = ingest.read_pages_stream(spark, src)
+    out = ingest.streaming_segment_strip(
+        stream, dictionary, watermark="30 minutes", window_size="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("segstrip")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r.doc_id: (r.n_seg, r.n_kept, r.kept_frac, r.clean_md5)
+        for r in spark.sql("SELECT * FROM segstrip").collect()
+    }
+    want = {
+        r.doc_id: (r.n_seg, r.n_kept, r.kept_frac, r.clean_md5)
+        for r in dedup.segment_dedup(docs).collect()
+    }
+    assert got == want
+    # non-trivial: the synthetic exact clones share every segment, so both
+    # clone members are fully stripped (n_kept=0, md5 of empty string)
+    empty_md5 = "d41d8cd98f00b204e9800998ecf8427e"
+    assert any(v[1] == 0 and v[3] == empty_md5 for v in got.values())
+    # ...and at least one doc is PARTIALLY stripped (reconstruction path)
+    assert any(0 < v[1] < v[0] for v in got.values())
