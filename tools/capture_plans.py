@@ -141,6 +141,18 @@ def main() -> None:
          "via the bounded two-stage window — no vocabulary-sized sort "
          "partition)",
          e.q59_vocab_coverage(spark, SF)),
+        ("Capped source overlap (q60: the ubiquitous-gram guard — a "
+         "per-gram count + semi-join on the 8-byte hash sits BELOW the "
+         "pair-emitting self-join; sizes branch reads the uncapped rows)",
+         e.q60_source_overlap_capped(spark, SF)),
+        ("Bigram lift collocations (q61: vocabulary-sized count aggs; "
+         "hapax gate below the unigram joins; broadcast totals; bounded "
+         "two-stage top-k; no libm in the score)",
+         e.q61_bigram_lift(spark, SF)),
+        ("Source novelty (q62: distinct (source, gram-hash) agg -> "
+         "per-gram first-carrier min() -> tiny per-source counts; no "
+         "self-join at all)",
+         e.q62_source_novelty(spark, SF)),
     ]
     bucketed_agg, bucketed_join = _bucketed_plans(spark, docs)
     sections += [
