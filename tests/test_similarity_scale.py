@@ -111,16 +111,26 @@ def test_ivf_topk_udf_path_matches_expression_path(spark, monkeypatch):
 
 def test_chunked_d2_matmul_kernel():
     """The matmul-identity kernel is for argmin/argsort selection: it must
-    be (a) bit-stable across chunk sizes, (b) numerically equal to the
-    expanded-difference form, and (c) argmin-identical to it — including
-    first-minimal-index ties on bit-identical (duplicated) centroids."""
+    be (a) deterministic per chunk size and selection-stable across chunk
+    sizes, (b) numerically equal to the expanded-difference form, and
+    (c) argmin-identical to it — including first-minimal-index ties on
+    bit-identical (duplicated) centroids.
+
+    NOT asserted: bit-equality across chunk SIZES. BLAS GEMM picks its
+    blocking/kernel by matrix shape, so m=256 and m=700 can differ in the
+    last ulps (measured 2.8e-14 max on this box) — which is exactly why
+    the kernel is documented as selection-only."""
     rng = np.random.default_rng(7)
     X = rng.normal(size=(700, 64))
     C = rng.normal(size=(33, 64))
     expanded = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
     got = similarity._chunked_d2(X, C, chunk=256)
-    # chunk boundaries must not change a single bit (per-row arithmetic)
-    assert (got == similarity._chunked_d2(X, C, chunk=10**9)).all()
+    # same chunk size -> bit-identical (deterministic kernel) ...
+    assert (got == similarity._chunked_d2(X, C, chunk=256)).all()
+    # ... different chunk size -> ulp-close and selection-identical
+    full = similarity._chunked_d2(X, C, chunk=10**9)
+    assert np.allclose(got, full, rtol=0, atol=1e-10)
+    assert (got.argmin(axis=1) == full.argmin(axis=1)).all()
     assert np.allclose(got, expanded, rtol=1e-9, atol=1e-9)
     assert (got.argmin(axis=1) == expanded.argmin(axis=1)).all()
     # duplicated centroid -> bit-equal d2 columns -> first index wins,
