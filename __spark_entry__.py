@@ -1110,6 +1110,23 @@ def q59_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rank.vocab_coverage(_docs(spark, sf_dir), ["lang"], top_k=VOCAB_K)
 
 
+def q63_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (the composed 10^12-row scale path — IVFADC): coarse
+    centroids prune the corpus to nprobe probed lists per query, and
+    within them distance is the PQ asymmetric squared L2 read off 8-byte
+    codes — the probe join's corpus side is 24 bytes/row, never a float
+    vector. ORACLE-CHECKED end-to-end with NO rounding: both trainings
+    are the shared seeded k-means on the shared sorted sample
+    (similarity.train_ivf_centroids / pq_train_codebooks), assignment,
+    probing, per-subspace encoding, and the ADC fold are all expressed in
+    pure SQL with the identical float-op order (the q36 + q44 oracle
+    machinery composed), and selection is the total order
+    (adc, neighbor_id) — bit-identical even under the ADC ties duplicate
+    docs produce. Recall vs brute force additionally asserted in tests."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return similarity.ivfpq_topk(emb, k=5, query_mod=25, n_clusters=8, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1195,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q60_source_overlap_capped": q60_source_overlap_capped,
         "q61_bigram_lift": q61_bigram_lift,
         "q62_source_novelty": q62_source_novelty,
+        "q63_ivfpq_ann": q63_ivfpq_ann,
     }
 
 
@@ -1650,6 +1668,115 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """
 
 
+def _q63_oracle() -> str:
+    """IVF-PQ ANN oracle: the q36 machinery (centroid literals, sequential
+    -fold assignment, nprobe probing) composed with the q44 machinery
+    (codebook literals, per-subspace encoding, per-query lookup table,
+    pivot + left-associated ADC chain), with the ADC terms restricted to
+    the probed candidates. One DuckDB sample fetch trains BOTH quantizers
+    through the same shared fitting functions as the Spark side, so every
+    centroid, code, and distance is bit-identical cross-engine."""
+    import duckdb
+    import numpy as np
+
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT embedding FROM '{_oracle_sf_dir()}/embeddings.parquet' "
+        "ORDER BY vec_id LIMIT 4096"
+    ).fetchall()
+    con.close()
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    cent = similarity.kmeans_fit(X, n_clusters=8, n_iter=10, seed=42)
+    cent_values = ",\n  ".join(
+        "({}, [{}]::DOUBLE[])".format(ci, ", ".join(repr(float(v)) for v in c))
+        for ci, c in enumerate(cent)
+    )
+    m, ksub = similarity.PQ_M, similarity.PQ_KSUB
+    books = similarity.pq_fit_books(X, m=m, ksub=ksub, n_iter=10, seed=42)
+    dsub = similarity.EMB_DIM // m
+    code_d2 = similarity.pq_subspace_d2_sql("e.embedding", "b.cvec", "b.j", dsub)
+    qd2 = similarity.pq_subspace_d2_sql("q.q_vec", "b.cvec", "b.j", dsub)
+    pivot = ",\n           ".join(
+        f"MAX(CASE WHEN j = {j} THEN qd2 END) AS t{j}" for j in range(m)
+    )
+    adc_chain = "t0"
+    for j in range(1, m):
+        adc_chain = f"({adc_chain} + t{j})"
+
+    def d2_sql(vec: str, cvec: str) -> str:
+        return (
+            f"list_sum(list_transform(generate_series(1, {similarity.EMB_DIM}), "
+            f"i -> (({vec}[i]::DOUBLE) - {cvec}[i]) * (({vec}[i]::DOUBLE) - {cvec}[i])))"
+        )
+
+    return f"""
+WITH cents(ci, cvec) AS (VALUES
+  {cent_values}
+),
+books(j, ci, cvec) AS (VALUES
+  {similarity.pq_codebooks_sql_values(books)}
+),
+cd AS (
+  SELECT e.vec_id, c.ci, {d2_sql("e.embedding", "c.cvec")} AS d2
+  FROM embeddings e, cents c
+),
+assign AS (
+  SELECT vec_id, ci AS ivf_cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, ci ASC) AS rn
+    FROM cd
+  ) WHERE rn = 1
+),
+bd AS (
+  SELECT e.vec_id, b.j, b.ci, {code_d2} AS d2
+  FROM embeddings e, books b
+),
+codes AS (
+  SELECT vec_id, j, ci AS code FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, ci ASC) AS rn
+    FROM bd
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS q_vec FROM embeddings WHERE vec_id % 25 = 0),
+qd AS (
+  SELECT q.query_id, c.ci, {d2_sql("q.q_vec", "c.cvec")} AS cd
+  FROM q, cents c
+),
+probes AS (
+  SELECT query_id, ci AS ivf_cluster FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cd ASC, ci ASC) AS rn
+    FROM qd
+  ) WHERE rn <= 3
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a USING (ivf_cluster)
+  WHERE p.query_id <> a.vec_id
+),
+lut AS (
+  SELECT q.query_id, b.j, b.ci, {qd2} AS qd2
+  FROM q, books b
+),
+terms AS (
+  SELECT cand.query_id, cand.neighbor_id, c.j, l.qd2
+  FROM cand
+  JOIN codes c ON c.vec_id = cand.neighbor_id
+  JOIN lut l ON l.query_id = cand.query_id AND l.j = c.j AND l.ci = c.code
+),
+adc AS (
+  SELECT query_id, neighbor_id, {adc_chain} AS adc FROM (
+    SELECT query_id, neighbor_id,
+           {pivot}
+    FROM terms GROUP BY 1, 2
+  )
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS rank
+  FROM adc
+)
+SELECT query_id, rank, neighbor_id, adc FROM ranked WHERE rank <= 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     p = P
     s = p.eff_stride
@@ -1871,6 +1998,7 @@ FROM base b LEFT JOIN kept_agg k USING (lang, source)
         ),
         "q61_bigram_lift": rank.bigram_lift_topk_sql("lang", k=10),
         "q62_source_novelty": dedup.source_novelty_sql(),
+        "q63_ivfpq_ann": _q63_oracle(),
         "q12_simhash": r"""
 SELECT doc_id,
        CAST(CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 64) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 64 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 128) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 128 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 256) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 256 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 512) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 512 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1024) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1024 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2048) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2048 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4096) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4096 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8192) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8192 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16384) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16384 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 32768) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 32768 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 65536) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 65536 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 131072) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 131072 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 262144) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 262144 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 524288) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 524288 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1048576) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1048576 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2097152) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2097152 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 4194304) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 4194304 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 8388608) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 8388608 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 16777216) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 16777216 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 33554432) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 33554432 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 67108864) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 67108864 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 134217728) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 134217728 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 268435456) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 268435456 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 536870912) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 536870912 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 1073741824) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 1073741824 ELSE 0 END + CASE WHEN COALESCE(list_sum(list_transform(list_transform(list_filter(string_split_regex(trim(text), '\s+'), x -> x <> ''), t -> ('0x' || substr(md5(t), 1, 15))::BIGINT), h -> CASE WHEN (h & 2147483648) <> 0 THEN 1 ELSE -1 END)), 0) > 0 THEN 2147483648 ELSE 0 END AS BIGINT) AS simhash,

@@ -866,6 +866,46 @@ def ivf_read_index(spark, path: str) -> DataFrame:
     ).parquet(path)
 
 
+def ivf_probes(q0, centroids, nprobe: int, carry: tuple[str, ...] = ("q_vec",)):
+    """(query_id, *carry, ivf_cluster): the `nprobe` nearest centroid ids
+    per query row of `q0` (which must hold query_id + the carry columns,
+    with the query vector in carry[0]). Shared by ivf_topk and
+    ivfpq_topk so the probe rule — (centroid d2 asc, cluster id asc),
+    sequential-fold distances — is defined exactly once.
+
+    Two branches with pytest-asserted parity: <= IVF_EXPR_MAX_LISTS lists
+    stay pure JVM expressions (posexplode over literal-centroid distances
+    + bounded per-query window); above that the centroid matrix ships in
+    an Arrow-UDF closure (no plan literals, no codegen blow-up)."""
+    from pyspark.sql.window import Window
+
+    vec_col = carry[0]
+    if len(centroids) > IVF_EXPR_MAX_LISTS:
+        # broadcast numpy path: nprobe nearest clusters per query in one
+        # Arrow batch (argsort ties -> lower index first, matching the
+        # expression path's (_cdist, ivf_cluster) ordering)
+        return q0.select(
+            "query_id", *carry,
+            F.explode(
+                _centroid_probes_udf(centroids, nprobe)(F.col(vec_col))
+            ).alias("ivf_cluster"),
+        )
+    dists = []
+    for ci, cvec in enumerate(centroids):
+        arr = F.array([F.lit(float(v)) for v in cvec])
+        diff = F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") - y)
+        dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))
+    q = q0.select(
+        "query_id", *carry, F.posexplode(F.array(*dists)).alias("ivf_cluster", "_cdist")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("_cdist").asc(), F.col("ivf_cluster").asc())
+    return (
+        q.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= nprobe)
+        .select("query_id", *carry, F.col("ivf_cluster").cast("bigint").alias("ivf_cluster"))
+    )
+
+
 def ivf_topk(
     emb,
     k: int = 5,
@@ -911,31 +951,7 @@ def ivf_topk(
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
     )
-    if len(centroids) > IVF_EXPR_MAX_LISTS:
-        # broadcast numpy path: nprobe nearest clusters per query in one
-        # Arrow batch (argsort ties -> lower index first, matching the
-        # expression path's (_cdist, ivf_cluster) ordering)
-        probes = q0.select(
-            "query_id", "q_vec", "q_norm",
-            F.explode(
-                _centroid_probes_udf(centroids, nprobe)(F.col("q_vec"))
-            ).alias("ivf_cluster"),
-        )
-    else:
-        dists = []
-        for ci, cvec in enumerate(centroids):
-            arr = F.array([F.lit(float(v)) for v in cvec])
-            diff = F.zip_with(F.col("q_vec"), arr, lambda x, y: x.cast("double") - y)
-            dists.append(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x))
-        q = q0.select(
-            "query_id", "q_vec", "q_norm", F.posexplode(F.array(*dists)).alias("ivf_cluster", "_cdist")
-        )
-        wq = Window.partitionBy("query_id").orderBy(F.col("_cdist").asc(), F.col("ivf_cluster").asc())
-        probes = (
-            q.withColumn("_r", F.row_number().over(wq))
-            .filter(F.col("_r") <= nprobe)
-            .select("query_id", "q_vec", "q_norm", F.col("ivf_cluster").cast("bigint").alias("ivf_cluster"))
-        )
+    probes = ivf_probes(q0, centroids, nprobe, carry=("q_vec", "q_norm"))
     joined = F.broadcast(probes).join(c, "ivf_cluster").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
@@ -1059,11 +1075,21 @@ def pq_encode(emb, books, id_col: str = "vec_id", vec_col: str = "embedding"):
     vector instead of 256/512, scanned by every subsequent query; the
     codebooks (m x ksub x dsub doubles) ride along in the table metadata.
     """
+    enc = _pq_pack_udf(books)
+    return emb.select(F.col(id_col).alias("vec_id_pq"), enc(F.col(vec_col)).alias("pq_code"))
+
+
+def _pq_pack_udf(books):
+    """Arrow-batched pandas UDF: embedding -> the m sub-codes packed into
+    ONE bigint (code_j in bits [8j, 8j+8)). Shared by pq_encode and
+    ivfpq_build_index. asNondeterministic: same Catalyst double-eval
+    hazard as _centroid_argmin_udf (join on the output column ->
+    isnotnull pushed below the projection re-runs the UDF)."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     if len(books) > 8 or any(len(b) > 256 for b in books):
-        raise ValueError("pq_encode packing supports m <= 8, ksub <= 256")
+        raise ValueError("pq code packing supports m <= 8, ksub <= 256")
     B = [b.copy() for b in books]
 
     def _enc(vecs):
@@ -1078,11 +1104,7 @@ def pq_encode(emb, books, id_col: str = "vec_id", vec_col: str = "embedding"):
             packed |= codes[:, j] << (8 * j)
         return pd.Series(packed)
 
-    # asNondeterministic: same Catalyst double-eval hazard as
-    # _centroid_argmin_udf (join on the output column -> isnotnull pushed
-    # below the projection re-runs the UDF)
-    enc = pandas_udf(_enc, "bigint").asNondeterministic()
-    return emb.select(F.col(id_col).alias("vec_id_pq"), enc(F.col(vec_col)).alias("pq_code"))
+    return pandas_udf(_enc, "bigint").asNondeterministic()
 
 
 def pq_topk(
@@ -1268,3 +1290,134 @@ def pq_subspace_d2_sql(vec: str, cvec: str, j_expr: str, dsub: int) -> str:
         for d in range(1, dsub + 1)
     ]
     return "(" + " + ".join(terms) + ")"
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ — the composed 10^12-row scale path (Jegou/Douze/Schmid PAMI 2011
+# §V: IVFADC — coarse quantizer prunes the corpus, product codes replace it)
+# ---------------------------------------------------------------------------
+#
+# IVF alone (ivf_topk) prunes to nprobe/nlist of the corpus but pays full
+# float64 vectors through the probe join; PQ alone (pq_topk) compresses the
+# corpus 32x but still scans ALL of it per query. The composition does both:
+# the probe join's corpus side is (id, cluster, 8-byte code) — 24 bytes/row
+# instead of 512+ — and only the probed lists' candidates are ever scored.
+# At 10^12 rows with nlist=4*sqrt(n) and nprobe=2, a query touches
+# ~2n/nlist candidates reading 24 bytes each: the scan volume per query
+# drops ~10^5x vs brute force. Asymmetric distance (ADC): the query side
+# stays exact float64, only corpus vectors are quantized.
+
+
+def ivfpq_build_index(emb, centroids, books, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """The materialized IVF-PQ index: (neighbor_id, ivf_cluster, pq_code)
+    in ONE corpus pass — the coarse-assignment UDF/expressions and the PQ
+    pack UDF sit in the same projection, so the corpus is read once and
+    never again holds a float vector downstream.
+
+    Production shape at 100 TB: write partitioned by ivf_cluster exactly
+    like ivf_write_index, but each row is 24 bytes instead of an
+    (id, 64-double vec, norm) row — the whole 10^12-row index is ~24 TB
+    -> ~2.4 GB per 1000-executor share, and a probe scan reads only the
+    nprobe lists' partitions (dynamic partition pruning, same plan as
+    test_written_ivf_index_scan_is_partition_pruned)."""
+    assigned = ivf_assign(emb, centroids, vec_col)
+    return assigned.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("ivf_cluster"),
+        _pq_pack_udf(books)(F.col(vec_col)).alias("pq_code"),
+    )
+
+
+def _adc_udf(books):
+    """Arrow-batched pandas UDF: (query vector, packed corpus code) ->
+    asymmetric squared L2. Per batch: unpack the m sub-codes, gather each
+    subspace's selected codebook row, and accumulate (x_d - c_d)^2 in
+    ascending d within a subspace and ascending j across subspaces — the
+    exact left-associated float-op order of pq_subspace_d2_sql + the
+    oracle's adc chain (and of pq_topk's LUT fold), so ADC values are
+    bit-identical cross-engine with NO rounding, including under the ADC
+    ties duplicate docs produce."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    B = [b.copy() for b in books]
+    m = len(B)
+
+    def _adc(qvecs, codes):
+        import numpy as np
+
+        if len(qvecs) == 0:
+            return pd.Series([], dtype=np.float64)
+        Q = _stack_rows(qvecs)
+        packed = codes.to_numpy(dtype=np.int64)
+        dsub = Q.shape[1] // m
+        adc = None
+        for j in range(m):
+            cj = (packed >> (8 * j)) & 0xFF
+            T = Q[:, j * dsub : (j + 1) * dsub] - B[j][cj]
+            acc = T[:, 0] * T[:, 0]
+            for d in range(1, dsub):
+                acc = acc + T[:, d] * T[:, d]
+            adc = acc if adc is None else adc + acc
+        return pd.Series(adc)
+
+    return pandas_udf(_adc, "double")
+
+
+def ivfpq_topk(
+    emb,
+    k: int = 5,
+    query_mod: int = 25,
+    n_clusters: int | None = 16,
+    nprobe: int = 2,
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int | None = None,
+    centroids=None,
+    books=None,
+    index=None,
+):
+    """IVF-PQ ANN top-k: coarse centroids prune the corpus to the nprobe
+    probed lists per query; within them, distance is the PQ asymmetric
+    squared L2 read off 8-byte codes. Output (query_id, rank, neighbor_id,
+    adc) — selection is the total order (adc asc, neighbor_id asc), so
+    results are partitioning-independent even under code ties.
+
+    Scale shape: the corpus contributes ONE pass (ivfpq_build_index) and
+    after it only 24-byte rows exist; the probes side (queries x nprobe)
+    is force-broadcast — same rationale as ivf_topk, the corpus never
+    shuffles; the ADC projection runs over candidate pairs only
+    (~ nprobe/nlist of the corpus per query) and emits 3 narrow columns
+    into the bounded per-query top-k window. Both trainings are O(sample)
+    driver k-means shared with the oracle (train_ivf_centroids /
+    pq_train_codebooks), so recall characteristics are the product of the
+    two quantizers — measured against cosine_topk in tests."""
+    from pyspark.sql.window import Window
+
+    if n_clusters is None:
+        n_clusters = adaptive_ivf_clusters(n if n is not None else emb.count())
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, n_clusters=n_clusters, id_col=id_col, vec_col=vec_col)
+    if books is None:
+        books = pq_train_codebooks(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
+    c = index if index is not None else ivfpq_build_index(emb, centroids, books, id_col, vec_col)
+    q0 = emb.filter(F.col(id_col) % query_mod == 0).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    probes = ivf_probes(q0, centroids, nprobe, carry=("q_vec",))
+    joined = F.broadcast(probes).join(c, "ivf_cluster").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        _adc_udf(books)(F.col("q_vec"), F.col("pq_code")).alias("adc"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc")
+    )

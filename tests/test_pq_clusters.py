@@ -139,6 +139,113 @@ def test_pq_topk_multichunk_ties_match_bruteforce(spark):
     )
 
 
+def _ivfpq_numpy_oracle(ids, X, cent, books, k, query_mod, nprobe):
+    """Driver-side IVF-PQ oracle: sequential-fold coarse assignment with
+    the (d2, ci) first-minimal rule, top-nprobe probes per query, ADC over
+    the probed candidates' codes, (adc, neighbor_id) lexicographic top-k."""
+    cd = similarity._pq_subspace_d2(X, cent)  # sequential fold, oracle order
+    assign = cd.argmin(axis=1)  # first-minimal ties
+    codes = similarity.pq_encode_codes(X, books)
+    m = len(books)
+    dsub = X.shape[1] // m
+    want = []
+    for qi in np.nonzero(ids % query_mod == 0)[0]:
+        probes = sorted(range(len(cent)), key=lambda ci: (cd[qi, ci], ci))[:nprobe]
+        lut = [
+            similarity._pq_subspace_d2(
+                X[qi : qi + 1, j * dsub : (j + 1) * dsub], books[j]
+            )[0]
+            for j in range(m)
+        ]
+        cand = []
+        for i in np.nonzero(np.isin(assign, probes))[0]:
+            if ids[i] == ids[qi]:
+                continue
+            adc = lut[0][codes[i, 0]]
+            for j in range(1, m):
+                adc = adc + lut[j][codes[i, j]]
+            cand.append((float(adc), int(ids[i])))
+        cand.sort()
+        want.extend(
+            (int(ids[qi]), r + 1, nid, d) for r, (d, nid) in enumerate(cand[:k])
+        )
+    return want
+
+
+def test_ivfpq_topk_matches_numpy_oracle(spark):
+    """End-to-end ivfpq_topk (coarse prune + ADC on packed codes) vs a
+    driver-side numpy replay of assignment, probing, encoding, and the
+    ADC fold — exact equality, no rounding."""
+    emb = _load_emb(spark)
+    out = similarity.ivfpq_topk(emb, k=3, query_mod=40, n_clusters=8, nprobe=3).orderBy(
+        "query_id", "rank"
+    )
+    got = [(r.query_id, r.rank, r.neighbor_id, r.adc) for r in out.collect()]
+
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    X = np.asarray(np.stack(pdf["embedding"].to_numpy()), dtype=np.float64)
+    cent = similarity.train_ivf_centroids(emb, n_clusters=8)
+    books = similarity.pq_train_codebooks(emb)
+    want = _ivfpq_numpy_oracle(ids, X, cent, books, k=3, query_mod=40, nprobe=3)
+    assert got == want
+
+
+def test_ivfpq_topk_partition_invariant(spark):
+    """Same trained quantizers, different corpus partitioning -> same rows
+    (the total-order selection and the per-query window are exact)."""
+    emb = _load_emb(spark)
+    cent = similarity.train_ivf_centroids(emb, n_clusters=8)
+    books = similarity.pq_train_codebooks(emb)
+    a = similarity.ivfpq_topk(emb, k=3, query_mod=40, n_clusters=8, nprobe=3,
+                              centroids=cent, books=books)
+    b = similarity.ivfpq_topk(emb.repartition(13), k=3, query_mod=40, n_clusters=8,
+                              nprobe=3, centroids=cent, books=books)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_ivfpq_duplicate_corpus_perfect_recall(spark):
+    """On a corpus of exact duplicates (37 distinct vectors repeated
+    ~14x), a query's true nearest neighbors are its own duplicates: they
+    share its coarse cell (identical vector -> identical assignment) and
+    its codes, so IVF-PQ must return them — recall 1.0 vs brute force by
+    construction — and each returned adc is exactly the query's own
+    quantization error (asymmetric distance: exact query vs its own
+    reconstructed code), identical across all k duplicates."""
+    import pandas as pd
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(37, 16)
+    n = 500
+    ids = np.arange(n, dtype=np.int64)
+    X = base[ids % 37]
+    pdf = pd.DataFrame({"vec_id": ids, "embedding": list(X)})
+    emb = spark.createDataFrame(pdf)
+    cent = similarity.kmeans_fit(X, 6, n_iter=6, seed=2)
+    books = similarity.pq_fit_books(X, m=4, ksub=4, n_iter=4, seed=3)
+    out = similarity.ivfpq_topk(
+        emb, k=5, query_mod=100, n_clusters=6, nprobe=1, m=4, ksub=4,
+        centroids=cent, books=books,
+    ).collect()
+    codes = similarity.pq_encode_codes(X, books)
+    by_q: dict[int, list] = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {int(i) for i in ids[ids % 100 == 0]}
+    for qid, rows in by_q.items():
+        # the query's own quantization error: ADC(q, code(q))
+        qerr = None
+        for j in range(4):
+            sub = X[qid, j * 4 : (j + 1) * 4]
+            d2 = similarity._pq_subspace_d2(sub[None, :], books[j])[0, codes[qid, j]]
+            qerr = d2 if qerr is None else qerr + d2
+        assert len(rows) == 5
+        for r in rows:
+            # 500/37 ~ 13 duplicates per vector > k: all top-5 are dups
+            assert r.neighbor_id % 37 == qid % 37
+            assert r.adc == qerr
+
+
 def _py_components(edges):
     """Union-find oracle: {node: min id of its component}."""
     parent = {}
