@@ -162,6 +162,40 @@ def _pq_best() -> dict | None:
     }
 
 
+def _ivfpq_best() -> dict | None:
+    """Best-of-exclusive-samples for the 1M-row composed IVF-PQ stage
+    (tools/bench_ivfpq_sample.py appends; per-field minimum over local[32]
+    samples — same estimator as the component IVF and PQ stages, so the
+    three numbers are directly comparable)."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "ivfpq_samples.jsonl"
+    )
+    try:
+        with open(path) as fh:
+            samples = [json.loads(l) for l in fh if l.strip()]
+    except OSError:
+        return None
+    samples = [s for s in samples if s.get("cpus") == 32 and s.get("n_rows") == 1_000_000]
+    if not samples:
+        return None
+    rows = {s["topk_rows"] for s in samples}
+    assert len(rows) == 1, ("ivfpq output parity violated across samples", rows)
+    best = min(samples, key=lambda s: s["sec"])
+    return {
+        "n_samples": len(samples),
+        "n_rows": samples[0]["n_rows"],
+        "nlist": samples[0]["nlist"],
+        "m": samples[0]["m"],
+        "ksub": samples[0]["ksub"],
+        "topk_rows": samples[0]["topk_rows"],
+        "sec_train_best": min(s["sec_train"] for s in samples),
+        "sec_topk_best": min(s["sec_topk"] for s in samples),
+        "sec_best": best["sec"],
+        "rows_per_sec_best": max(s["rows_per_sec"] for s in samples),
+        "best_sample": {k: best.get(k) for k in ("git", "steal_pct", "warm", "ts")},
+    }
+
+
 def run_headline(spark, sf_dir: str, runs: int = 1):
     """Time the headline queries on an existing session. Returns
     (timings, rows, total_sec). Shared by the one-shot bench below and the
@@ -270,6 +304,10 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
     from geotiff_tiler_spark.plans.scale_job import run_pq_stage
 
     pq = run_pq_stage(spark, ivf_rows) if ivf_rows > 0 else None
+    # the composed IVF-PQ path (coarse prune + codes-only candidates)
+    from geotiff_tiler_spark.plans.scale_job import run_ivfpq_stage
+
+    ivfpq = run_ivfpq_stage(spark, ivf_rows) if ivf_rows > 0 else None
     spark.stop()
     out_rows = sum(rows.values())
     return {
@@ -287,6 +325,8 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
         "ivf_best_exclusive": _ivf_best(),
         "pq": pq,
         "pq_best_exclusive": _pq_best(),
+        "ivfpq": ivfpq,
+        "ivfpq_best_exclusive": _ivfpq_best(),
         "tiles_join_rows_per_sec": scale["tiles_join_rows_per_sec"],
         "lsh_blocking": lsh_blocking,
         "scaling": _last_scaling(),
@@ -318,6 +358,7 @@ def slim(full: dict) -> dict:
         "scaling_speedup": scaling.get("speedup"),
         "ivf_sec_best": (full.get("ivf_best_exclusive") or {}).get("sec_best"),
         "pq_sec_best": (full.get("pq_best_exclusive") or {}).get("sec_best"),
+        "ivfpq_sec_best": (full.get("ivfpq_best_exclusive") or {}).get("sec_best"),
         "headline_best_total": (full.get("headline_best_exclusive") or {}).get(
             "best_total"
         ),

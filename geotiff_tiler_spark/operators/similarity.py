@@ -1308,11 +1308,49 @@ def pq_subspace_d2_sql(vec: str, cvec: str, j_expr: str, dsub: int) -> str:
 # stays exact float64, only corpus vectors are quantized.
 
 
+def _assign_pack_udf(centroids, books):
+    """Arrow-batched pandas UDF: embedding -> struct(ivf_cluster, pq_code)
+    — coarse assignment AND PQ packing in ONE worker round, so each
+    corpus vector crosses the Arrow boundary exactly once (two separate
+    UDFs in one projection serialize the embedding column twice; measured
+    on the 1M-row stage). Assignment is _nearest_centroids (identical to
+    _centroid_argmin_udf), packing is pq_encode_codes (identical to
+    _pq_pack_udf) — bit-parity with the two-step path is pytest-asserted.
+    asNondeterministic for the same Catalyst double-eval hazard."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if len(books) > 8 or any(len(b) > 256 for b in books):
+        raise ValueError("pq code packing supports m <= 8, ksub <= 256")
+    import numpy as np
+
+    C = np.asarray(centroids, dtype=np.float64)
+    B = [b.copy() for b in books]
+
+    def _both(vecs):
+        if len(vecs) == 0:
+            return pd.DataFrame({"ivf_cluster": pd.Series([], dtype=np.int64),
+                                 "pq_code": pd.Series([], dtype=np.int64)})
+        X = _stack_rows(vecs)
+        cl = _nearest_centroids(X, C, p=1)[:, 0]
+        codes = pq_encode_codes(X, B)
+        packed = np.zeros(len(X), dtype=np.int64)
+        for j in range(codes.shape[1]):
+            packed |= codes[:, j] << (8 * j)
+        return pd.DataFrame({"ivf_cluster": cl, "pq_code": packed})
+
+    return pandas_udf(
+        _both, "struct<ivf_cluster: bigint, pq_code: bigint>"
+    ).asNondeterministic()
+
+
 def ivfpq_build_index(emb, centroids, books, id_col: str = "vec_id", vec_col: str = "embedding"):
     """The materialized IVF-PQ index: (neighbor_id, ivf_cluster, pq_code)
-    in ONE corpus pass — the coarse-assignment UDF/expressions and the PQ
-    pack UDF sit in the same projection, so the corpus is read once and
-    never again holds a float vector downstream.
+    in ONE corpus pass. Past IVF_EXPR_MAX_LISTS lists both quantizers run
+    in a single fused Arrow UDF (_assign_pack_udf: the embedding crosses
+    the Python boundary once); at expression-path list counts the
+    assignment stays pure JVM codegen and only the pack UDF ships the
+    vector.
 
     Production shape at 100 TB: write partitioned by ivf_cluster exactly
     like ivf_write_index, but each row is 24 bytes instead of an
@@ -1320,6 +1358,12 @@ def ivfpq_build_index(emb, centroids, books, id_col: str = "vec_id", vec_col: st
     -> ~2.4 GB per 1000-executor share, and a probe scan reads only the
     nprobe lists' partitions (dynamic partition pruning, same plan as
     test_written_ivf_index_scan_is_partition_pruned)."""
+    if len(centroids) > IVF_EXPR_MAX_LISTS:
+        both = _assign_pack_udf(centroids, books)(F.col(vec_col)).alias("_ap")
+        return emb.select(F.col(id_col).alias("neighbor_id"), both).select(
+            "neighbor_id", F.col("_ap.ivf_cluster").alias("ivf_cluster"),
+            F.col("_ap.pq_code").alias("pq_code"),
+        )
     assigned = ivf_assign(emb, centroids, vec_col)
     return assigned.select(
         F.col(id_col).alias("neighbor_id"),

@@ -297,3 +297,72 @@ def run_pq_stage(
         "persist": persist,
         "warm": warm,
     }
+
+
+def _warm_session_ivfpq(spark, warm_rows: int = 50_000) -> None:
+    """IVF-PQ twin of _warm_session: exercises both Arrow-UDF paths the
+    measured stage uses (coarse assign + PQ pack in one projection, probe
+    UDF, ADC UDF) plus the probe join and the bounded window, on a 5%
+    slice, untimed — same one-time JIT/worker-spawn/heap-first-touch
+    rationale."""
+    from geotiff_tiler_spark.operators import similarity
+
+    wemb = synth_embeddings(spark, warm_rows)
+    wcent = similarity.train_ivf_centroids(wemb, n_clusters=96, sample=2048)
+    wbooks = similarity.pq_train_codebooks(wemb, sample=2048)
+    similarity.ivfpq_topk(
+        wemb, k=5, query_mod=warm_rows // 50, n_clusters=96, nprobe=2,
+        n=warm_rows, centroids=wcent, books=wbooks,
+    ).count()
+
+
+def run_ivfpq_stage(
+    spark: SparkSession,
+    n_rows: int = 1_000_000,
+    query_mod: int = 1000,
+    warm: bool = True,
+) -> dict:
+    """Measured number for the composed IVF-PQ path at the same 1M-row
+    scale as run_ivf_stage / run_pq_stage — the shape that holds at
+    10^12 rows: IVF prunes the corpus to nprobe/nlist per query AND the
+    probe join's corpus side is 8-byte codes instead of 64-double
+    vectors, so the one corpus pass (assign + encode in a single
+    projection) is the only place a float vector ever exists.
+
+    Two timed phases, mirroring the component stages:
+      train — the 4000-list coarse k-means plus the m=8 x ksub=16
+              codebooks, both on the shared bounded sorted sample;
+      topk  — the fused assign+encode corpus pass feeding the
+              force-broadcast probe join, the candidates-only ADC
+              projection, and the bounded per-query window.
+    Same untimed session warmup and no-persist reasoning as the
+    component stages (_warm_session_ivfpq / run_ivf_stage docstring)."""
+    from geotiff_tiler_spark.operators import similarity
+
+    emb = synth_embeddings(spark, n_rows)
+    if warm:
+        _warm_session_ivfpq(spark)
+    t0 = time.time()
+    nlist = similarity.adaptive_ivf_clusters(n_rows)
+    cent = similarity.train_ivf_centroids(emb, n_clusters=nlist)
+    books = similarity.pq_train_codebooks(emb)
+    t_train = time.time()
+    topk = similarity.ivfpq_topk(
+        emb, k=5, query_mod=query_mod, n_clusters=nlist, nprobe=2, n=n_rows,
+        centroids=cent, books=books,
+    )
+    n_out = topk.count()
+    t1 = time.time()
+    sec = round(t1 - t0, 2)
+    return {
+        "n_rows": n_rows,
+        "nlist": nlist,
+        "m": similarity.PQ_M,
+        "ksub": similarity.PQ_KSUB,
+        "topk_rows": n_out,
+        "sec_train": round(t_train - t0, 2),
+        "sec_topk": round(t1 - t_train, 2),
+        "sec": sec,
+        "rows_per_sec": round(n_rows / sec, 1) if sec > 0 else None,
+        "warm": warm,
+    }

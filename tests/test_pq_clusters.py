@@ -246,6 +246,32 @@ def test_ivfpq_duplicate_corpus_perfect_recall(spark):
             assert r.adc == qerr
 
 
+def test_ivfpq_fused_index_matches_twostep(spark):
+    """Past IVF_EXPR_MAX_LISTS the index build fuses assignment + packing
+    into one Arrow UDF; below it the assignment is JVM expressions. Both
+    paths must emit identical (id, cluster, code) rows — same corpus,
+    96-list centroids driven through both branches explicitly."""
+    emb = _load_emb(spark)
+    pdf = emb.select("vec_id", "embedding").toPandas().sort_values("vec_id")
+    X = np.asarray(np.stack(pdf["embedding"].to_numpy()), dtype=np.float64)
+    cent = similarity.kmeans_fit(X, 96, n_iter=4, seed=5)
+    books = similarity.pq_train_codebooks(emb)
+    fused = similarity.ivfpq_build_index(emb, cent, books)  # 96 > 64: fused UDF
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    codes = similarity.pq_encode_codes(X, books)
+    cl = similarity._nearest_centroids(X, np.asarray(cent), p=1)[:, 0]
+    want = {}
+    for i in range(len(ids)):
+        packed = 0
+        for j in range(codes.shape[1]):
+            packed |= int(codes[i, j]) << (8 * j)
+        want[int(ids[i])] = (int(cl[i]), packed)
+    got = {
+        r.neighbor_id: (r.ivf_cluster, r.pq_code) for r in fused.collect()
+    }
+    assert got == want
+
+
 def _py_components(edges):
     """Union-find oracle: {node: min id of its component}."""
     parent = {}

@@ -24,6 +24,11 @@ def _ann_sections() -> list[str]:
     for name, fname, extra in (
         ("IVF ANN stage (1M rows, 4000 lists, nprobe=2)", "ivf_samples.jsonl", "nlist"),
         ("PQ ANN stage (1M rows, m=8 x ksub=16 codes)", "pq_samples.jsonl", "m"),
+        (
+            "IVF-PQ ANN stage (1M rows, 4000 lists, 8-byte codes, nprobe=2 — the composed scale path)",
+            "ivfpq_samples.jsonl",
+            "nlist",
+        ),
     ):
         path = os.path.join(REPO, "BENCH", fname)
         try:

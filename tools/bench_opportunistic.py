@@ -25,7 +25,8 @@ STEAL_THRESHOLD_PCT = 1.5
 def main() -> None:
     """Plan entries: '32' / '8' = scale-workload sample at that parallelism;
     'h32' = headline-suite sample (tools/bench_headline_sample.py);
-    'i32' = IVF-stage sample (tools/bench_ivf_sample.py)."""
+    'i32' = IVF-stage sample (tools/bench_ivf_sample.py);
+    'p32' = PQ-stage sample; 'v32' = IVF-PQ-stage sample."""
     per_level = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 90.0
     cycle = (sys.argv[3].split(",") if len(sys.argv) > 3 else ["32", "8"])
@@ -57,6 +58,8 @@ def main() -> None:
             script, cpus = "bench_ivf_sample.py", item[1:]
         elif item.startswith("p"):
             script, cpus = "bench_pq_sample.py", item[1:]
+        elif item.startswith("v"):
+            script, cpus = "bench_ivfpq_sample.py", item[1:]
         else:
             script, cpus = "bench_sample.py", item
         t0 = time.time()
