@@ -39,6 +39,22 @@ def _ivf_udf_plan(spark):
     )
 
 
+def _ivfpq_udf_plan(spark):
+    """The >64-list IVF-PQ plan at a small n (plan shape is identical at
+    1M rows): ONE fused ArrowEvalPython on the corpus (assign + pack),
+    probes force-broadcast, ADC UDF over candidates only."""
+    from geotiff_tiler_spark.operators import similarity
+    from geotiff_tiler_spark.plans.scale_job import synth_embeddings
+
+    emb = synth_embeddings(spark, 20000)
+    cent = similarity.train_ivf_centroids(emb, n_clusters=128)
+    books = similarity.pq_train_codebooks(emb)
+    return similarity.ivfpq_topk(
+        emb, k=5, query_mod=100, n_clusters=128, nprobe=2, n=20000,
+        centroids=cent, books=books,
+    )
+
+
 def _bucketed_plans(spark, docs):
     """Bucketed corpus table (sources/bucketed.py): the groupBy runs on
     the scan's own HashPartitioning (zero Exchange) and the merge-hinted
@@ -103,6 +119,11 @@ def main() -> None:
          "per (partition, query); query LUTs ride the closure; final window "
          "ranks only n_partitions x k rows per query)",
          e.q44_pq_ann(spark, SF)),
+        ("IVF-PQ ANN stage, >64-list fused path (q63 at scale params: ONE "
+         "fused ArrowEvalPython — assign + 8-byte pack — on the corpus; "
+         "probes force-broadcast BuildLeft; ADC UDF above the join sees "
+         "candidates only; bounded per-query window)",
+         _ivfpq_udf_plan(spark)),
         ("Duplicate-cluster resolution (q45: min-label propagation rounds "
          "over the bounded refine-stage pair graph — shown at fixpoint)",
          e.q45_dup_clusters(spark, SF)),
