@@ -1372,37 +1372,39 @@ def ivfpq_build_index(emb, centroids, books, id_col: str = "vec_id", vec_col: st
     )
 
 
-def _adc_udf(books):
-    """Arrow-batched pandas UDF: (query vector, packed corpus code) ->
-    asymmetric squared L2. Per batch: unpack the m sub-codes, gather each
-    subspace's selected codebook row, and accumulate (x_d - c_d)^2 in
-    ascending d within a subspace and ascending j across subspaces — the
-    exact left-associated float-op order of pq_subspace_d2_sql + the
-    oracle's adc chain (and of pq_topk's LUT fold), so ADC values are
-    bit-identical cross-engine with NO rounding, including under the ADC
-    ties duplicate docs produce."""
+def _adc_lut_udf(qids, Q, books):
+    """Arrow-batched pandas UDF: (query_id, packed corpus code) ->
+    asymmetric squared L2, read off per-query lookup tables built ONCE in
+    the closure (the pq_topk LUT pattern: nq x m x ksub doubles — bounded
+    because queries << corpus by construction, the same constraint as the
+    probes broadcast). The candidate rows therefore cross the Arrow
+    boundary as 16 bytes each instead of carrying the 64-double query
+    vector (~33x less per-candidate traffic, measured on the 1M-row
+    stage). LUT entries are _pq_subspace_d2's sequential per-dim fold and
+    the over-subspace sum is the explicit left-associated chain — the
+    exact float-op order of pq_subspace_d2_sql + the oracle's adc chain,
+    so ADC values are bit-identical cross-engine with NO rounding,
+    including under the ADC ties duplicate docs produce. `qids` must be
+    sorted ascending (as _fetch_vecs_arrow returns)."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    B = [b.copy() for b in books]
-    m = len(B)
+    m = len(books)
+    dsub = Q.shape[1] // m
+    luts = [
+        _pq_subspace_d2(Q[:, j * dsub : (j + 1) * dsub], books[j]) for j in range(m)
+    ]
+    qs = np.asarray(qids, dtype=np.int64)
 
-    def _adc(qvecs, codes):
-        import numpy as np
-
-        if len(qvecs) == 0:
+    def _adc(qid_s, code_s):
+        if len(qid_s) == 0:
             return pd.Series([], dtype=np.float64)
-        Q = _stack_rows(qvecs)
-        packed = codes.to_numpy(dtype=np.int64)
-        dsub = Q.shape[1] // m
-        adc = None
-        for j in range(m):
-            cj = (packed >> (8 * j)) & 0xFF
-            T = Q[:, j * dsub : (j + 1) * dsub] - B[j][cj]
-            acc = T[:, 0] * T[:, 0]
-            for d in range(1, dsub):
-                acc = acc + T[:, d] * T[:, d]
-            adc = acc if adc is None else adc + acc
+        qi = np.searchsorted(qs, qid_s.to_numpy(dtype=np.int64))
+        packed = code_s.to_numpy(dtype=np.int64)
+        adc = luts[0][qi, packed & 0xFF]
+        for j in range(1, m):
+            adc = adc + luts[j][qi, (packed >> (8 * j)) & 0xFF]
         return pd.Series(adc)
 
     return pandas_udf(_adc, "double")
@@ -1430,14 +1432,18 @@ def ivfpq_topk(
     results are partitioning-independent even under code ties.
 
     Scale shape: the corpus contributes ONE pass (ivfpq_build_index) and
-    after it only 24-byte rows exist; the probes side (queries x nprobe)
-    is force-broadcast — same rationale as ivf_topk, the corpus never
-    shuffles; the ADC projection runs over candidate pairs only
-    (~ nprobe/nlist of the corpus per query) and emits 3 narrow columns
-    into the bounded per-query top-k window. Both trainings are O(sample)
-    driver k-means shared with the oracle (train_ivf_centroids /
-    pq_train_codebooks), so recall characteristics are the product of the
-    two quantizers — measured against cosine_topk in tests."""
+    after it only 24-byte rows exist; the probes side (queries x nprobe,
+    pruned to two bigint columns) is force-broadcast — same rationale as
+    ivf_topk, the corpus never shuffles; the query vectors are collected
+    ONCE to the driver (bounded: queries << corpus by construction, the
+    pq_topk constraint) to build the per-query ADC lookup tables that
+    ride the UDF closure, so each candidate pair crosses the Arrow
+    boundary as (query_id, pq_code) — 16 bytes, no vector; the bounded
+    per-query top-k window gets a partial WindowGroupLimit below its
+    exchange. Both trainings are O(sample) driver k-means shared with the
+    oracle (train_ivf_centroids / pq_train_codebooks), so recall
+    characteristics are the product of the two quantizers — measured
+    against cosine_topk in tests."""
     from pyspark.sql.window import Window
 
     if n_clusters is None:
@@ -1447,17 +1453,25 @@ def ivfpq_topk(
     if books is None:
         books = pq_train_codebooks(emb, m=m, ksub=ksub, id_col=id_col, vec_col=vec_col)
     c = index if index is not None else ivfpq_build_index(emb, centroids, books, id_col, vec_col)
-    q0 = emb.filter(F.col(id_col) % query_mod == 0).select(
+    queries = emb.filter(F.col(id_col) % query_mod == 0)
+    qids, Q = _fetch_vecs_arrow(queries, id_col, vec_col)
+    if len(qids) == 0:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long, adc double"
+        )
+    q0 = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    probes = ivf_probes(q0, centroids, nprobe, carry=("q_vec",))
+    probes = ivf_probes(q0, centroids, nprobe, carry=("q_vec",)).select(
+        "query_id", "ivf_cluster"
+    )
     joined = F.broadcast(probes).join(c, "ivf_cluster").filter(
         F.col("query_id") != F.col("neighbor_id")
     )
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        _adc_udf(books)(F.col("q_vec"), F.col("pq_code")).alias("adc"),
+        _adc_lut_udf(qids, Q, books)(F.col("query_id"), F.col("pq_code")).alias("adc"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("neighbor_id").asc())
     return (
