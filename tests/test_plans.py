@@ -221,6 +221,32 @@ def test_pq_topk_final_window_input_is_bounded(spark):
     assert "RunningWindowFunction" in plan or "Window" in plan, plan
 
 
+def test_ivfpq_topk_plan_shape(spark):
+    """The composed IVF-PQ plan must show: ONE fused corpus UDF
+    (assign + pack in a single ArrowEvalPython — the embedding crosses
+    Arrow once), the probes side broadcast (BuildLeft), the ADC UDF
+    consuming only (query_id, pq_code) — no q_vec column above the join —
+    and a partial WindowGroupLimit below the final window's exchange."""
+    from geotiff_tiler_spark.operators import similarity
+    from geotiff_tiler_spark.plans.scale_job import synth_embeddings
+
+    emb = synth_embeddings(spark, 5000)
+    cent = similarity.train_ivf_centroids(emb, n_clusters=128)
+    books = similarity.pq_train_codebooks(emb)
+    tk = similarity.ivfpq_topk(
+        emb, k=5, query_mod=100, n_clusters=128, nprobe=2, n=5000,
+        centroids=cent, books=books,
+    )
+    plan = _plan(tk)
+    assert plan.count("ArrowEvalPython [_both") == 1, plan
+    assert "BroadcastHashJoin" in plan and "BuildLeft" in plan, plan
+    # the ADC projection reads the 16-byte candidate row, never the vector
+    assert plan.count("ArrowEvalPython [_adc") == 1, plan
+    adc_seg = plan[plan.index("ArrowEvalPython [_adc"):]
+    assert "q_vec" not in adc_seg.split("\n")[0], plan
+    assert "WindowGroupLimit" in plan, plan
+
+
 def test_duplicate_clusters_rounds_are_bounded_joins(spark):
     """q45's propagation round is one equi-join + partial/final min agg on
     the EDGE-sized frame; lineage is cut by lazy localCheckpoint so the
