@@ -299,19 +299,27 @@ def run_pq_stage(
     }
 
 
-def _warm_session_ivfpq(spark, warm_rows: int = 50_000) -> None:
+def _warm_session_ivfpq(spark, warm_rows: int = 50_000, nlist: int = 4000) -> None:
     """IVF-PQ twin of _warm_session: exercises both Arrow-UDF paths the
-    measured stage uses (coarse assign + PQ pack in one projection, probe
-    UDF, ADC UDF) plus the probe join and the bounded window, on a 5%
-    slice, untimed — same one-time JIT/worker-spawn/heap-first-touch
-    rationale."""
+    measured stage uses (fused assign+pack projection, probe UDF, ADC
+    UDF) plus the probe join and the bounded window, on a 5% slice,
+    untimed — same one-time JIT/worker-spawn/heap-first-touch rationale.
+
+    Warms at the PRODUCTION list count: _nearest_centroids caches its
+    (chunk, nlist) scratch per (nlist, dtype) key, so a 96-list warmup
+    leaves every worker's 4000-wide block to first-touch INSIDE the
+    measured window (~32 MB/worker at ~70 MB/s on this VM). The warm
+    centroids are seeded noise — assignment quality is irrelevant to
+    buffer/JIT warmup — while the codebooks are really trained (cheap)."""
+    import numpy as np
+
     from geotiff_tiler_spark.operators import similarity
 
     wemb = synth_embeddings(spark, warm_rows)
-    wcent = similarity.train_ivf_centroids(wemb, n_clusters=96, sample=2048)
+    wcent = np.random.RandomState(0).randn(nlist, similarity.EMB_DIM)
     wbooks = similarity.pq_train_codebooks(wemb, sample=2048)
     similarity.ivfpq_topk(
-        wemb, k=5, query_mod=warm_rows // 50, n_clusters=96, nprobe=2,
+        wemb, k=5, query_mod=warm_rows // 50, n_clusters=nlist, nprobe=2,
         n=warm_rows, centroids=wcent, books=wbooks,
     ).count()
 
@@ -340,10 +348,10 @@ def run_ivfpq_stage(
     from geotiff_tiler_spark.operators import similarity
 
     emb = synth_embeddings(spark, n_rows)
-    if warm:
-        _warm_session_ivfpq(spark)
-    t0 = time.time()
     nlist = similarity.adaptive_ivf_clusters(n_rows)
+    if warm:
+        _warm_session_ivfpq(spark, nlist=nlist)
+    t0 = time.time()
     cent = similarity.train_ivf_centroids(emb, n_clusters=nlist)
     books = similarity.pq_train_codebooks(emb)
     t_train = time.time()
