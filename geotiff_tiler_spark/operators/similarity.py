@@ -1372,6 +1372,25 @@ def ivfpq_build_index(emb, centroids, books, id_col: str = "vec_id", vec_col: st
     )
 
 
+def ivfpq_write_index(index, path: str, mode: str = "overwrite") -> None:
+    """Write the build-once IVF-PQ index cluster-PARTITIONED — the same
+    layout contract as ivf_write_index, but each row is (id, 8-byte code):
+    the whole 10^12-row index is ~24 TB of parquet, and a probe query's
+    scan is dynamic-partition-pruned to exactly the nprobe lists probed
+    (plan-asserted in test_plans)."""
+    index.write.mode(mode).partitionBy("ivf_cluster").parquet(path)
+
+
+def ivfpq_read_index(spark, path: str):
+    """Read a written IVF-PQ index with the exact build schema (explicit
+    for the same reason as ivf_read_index: partition-column inference
+    would narrow ivf_cluster to INT and the join-key cast can defeat
+    dynamic partition pruning)."""
+    return spark.read.schema(
+        "neighbor_id bigint, pq_code bigint, ivf_cluster bigint"
+    ).parquet(path)
+
+
 def _adc_lut_udf(qids, Q, books):
     """Arrow-batched pandas UDF: (query_id, packed corpus code) ->
     asymmetric squared L2, read off per-query lookup tables built ONCE in

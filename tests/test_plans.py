@@ -293,6 +293,36 @@ def test_written_ivf_index_scan_is_partition_pruned(spark, tmp_path_factory):
     assert sorted(map(tuple, tk.collect())) == sorted(map(tuple, mem.collect()))
 
 
+def test_written_ivfpq_index_scan_is_partition_pruned(spark, tmp_path_factory):
+    """The written IVF-PQ index (24-byte rows, cluster-partitioned) must
+    (a) reproduce the in-memory index's results exactly and (b) carry a
+    dynamic-partition-pruning filter on its scan — a probe reads
+    nprobe/nlist of the table."""
+    from geotiff_tiler_spark.operators import similarity
+    from geotiff_tiler_spark.plans.scale_job import synth_embeddings
+
+    emb = synth_embeddings(spark, 5000)
+    cent = similarity.train_ivf_centroids(emb, n_clusters=128)
+    books = similarity.pq_train_codebooks(emb)
+    path = str(tmp_path_factory.mktemp("ivfpqidx") / "index")
+    similarity.ivfpq_write_index(
+        similarity.ivfpq_build_index(emb, cent, books), path
+    )
+
+    table = similarity.ivfpq_read_index(spark, path)
+    tk = similarity.ivfpq_topk(
+        emb, k=5, query_mod=100, n_clusters=128, nprobe=2, n=5000,
+        centroids=cent, books=books, index=table,
+    )
+    plan = _plan(tk)
+    assert "dynamicpruning" in plan.lower(), plan
+    mem = similarity.ivfpq_topk(
+        emb, k=5, query_mod=100, n_clusters=128, nprobe=2, n=5000,
+        centroids=cent, books=books,
+    )
+    assert sorted(map(tuple, tk.collect())) == sorted(map(tuple, mem.collect()))
+
+
 def test_lsh_greedy_keep_has_no_join(spark):
     """q50's scale contract: greedy LSH keep is O(corpus x bands) — one
     window shuffle by (band, bucket) + one agg by doc — and must never
