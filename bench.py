@@ -63,6 +63,8 @@ HEADLINE = [
     "q57_length_outliers",
     "q58_source_overlap",
     "q59_vocab_coverage",
+    "q64_containment",
+    "q65_source_jsd",
 ]
 
 

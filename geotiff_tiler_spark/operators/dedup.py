@@ -1128,3 +1128,183 @@ def duplicate_segment_dict(
         .filter(F.col("nd") > 1)
         .select("gh")
     )
+
+
+# Containment threshold for the excerpt-dup refine (Broder's containment
+# coefficient): a pair is an excerpt-dup when the SMALLER shingle set is
+# at least half inside the larger one.
+CONTAINMENT_THRESHOLD = 0.5
+
+
+def containment_expr_sql() -> str:
+    """Containment coefficient of the smaller side: |A ∩ B| / min(|A|,|B|)
+    (Broder 1997's c(A,B) taken at the smaller set, so one expression
+    covers both directions). Shared-formula rule: this exact string is
+    F.expr'd on the Spark side and inlined in the DuckDB oracle — int/int
+    division of exact counts, correctly rounded IEEE, no rounding needed."""
+    return (
+        "CASE WHEN least(n_a, n_b) > 0 "
+        "THEN CAST(inter AS DOUBLE) / least(n_a, n_b) ELSE 0.0 END"
+    )
+
+
+def containment_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    k: int = SHINGLE_K,
+    threshold: float = CONTAINMENT_THRESHOLD,
+    materialize: bool = True,
+) -> DataFrame:
+    """Asymmetric near-dup refine: containment of the smaller shingle set
+    in the larger, over the SAME LSH candidate pairs as the Jaccard refine.
+
+    Why a separate statistic: Jaccard punishes size mismatch — a 50-token
+    excerpt fully contained in a 5,000-token page scores |A|/|B| ≈ 0.01
+    and sails past any Jaccard threshold, yet it is exactly the
+    quote/boilerplate duplication a curation pass wants to see.
+    Containment = inter / min(n_a, n_b) is 1.0 for a perfect excerpt
+    regardless of the size ratio (Broder, "On the resemblance and
+    containment of documents", 1997).
+
+    Scale shape: identical to ngram_jaccard_pairs (this IS that plan plus
+    one projection + filter) — corpus semi-join-pruned to candidate
+    members before the shingle explode, both fan-out intermediates
+    localCheckpointed once, candidate-volume joins only. The containment
+    filter is a post-aggregation row filter; no new shuffle.
+
+    Caveat carried from LSH: candidates come from MinHash banding, which
+    targets JACCARD-similar pairs — a tiny excerpt of a huge page may not
+    band-collide. At 100 TB the standard recall fix is a second banding
+    pass over suffix-truncated documents; the refine below is agnostic to
+    how `pairs` was produced."""
+    j = ngram_jaccard_pairs(docs, pairs, text_col, k, materialize)
+    cont = F.expr(containment_expr_sql())
+    return (
+        j.select("doc_a", "doc_b", "inter", "n_a", "n_b", cont.alias("containment"))
+        .filter(F.col("containment") >= threshold)
+    )
+
+
+def jsd_term_int_expr_sql() -> str:
+    """Per-token Jensen–Shannon divergence contribution as an EXACT
+    INTEGER in nano-nats, over columns (c_a, t_a, c_b, t_b) = per-source
+    token count and source total:
+
+        p = c_a / t_a,  q = c_b / t_b
+        term = (p·ln(2p/(p+q)) + q·ln(2q/(p+q))) / 2
+
+    Summing doubles per source pair is partition-order-dependent (the
+    q47 lesson — see nll_lp_int_expr_sql); rounding each term to an
+    integral nano-nat BEFORE the sum makes the aggregate exact and
+    order-free on both engines. |term| ≤ ln2/2 per token mass, so the
+    bigint sum stays far inside range at any vocabulary size. The p/q
+    doubles are division of exact bigints (correctly rounded IEEE) and
+    the textual expression is identical on both engines, so ln() sees
+    bit-identical arguments."""
+    p = "(CAST(c_a AS DOUBLE) / t_a)"
+    q = "(CAST(c_b AS DOUBLE) / t_b)"
+    return (
+        "CAST(round(("
+        f"CASE WHEN c_a > 0 THEN {p} * ln(2.0 * {p} / ({p} + {q})) ELSE 0.0 END"
+        f" + CASE WHEN c_b > 0 THEN {q} * ln(2.0 * {q} / ({p} + {q})) ELSE 0.0 END"
+        ") * 500000000.0) AS BIGINT)"
+    )
+
+
+def jsd_final_expr_sql(sum_col: str = "sum_t") -> str:
+    """JSD in nats from the exact nano-nat sum (one division of an exact
+    bigint, then a 9-decimal round — deterministic cross-engine)."""
+    return f"round(CAST({sum_col} AS DOUBLE) / 1000000000.0, 9)"
+
+
+def source_jsd(
+    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between per-source unigram
+    distributions — the distributional complement of the set-overlap
+    matrix (source_overlap_matrix tells you WHETHER two dumps share
+    vocabulary; this tells you how differently they WEIGHT it). JSD is
+    symmetric, bounded by ln 2, and defined even where supports differ —
+    the standard distance for choosing mixture weights / spotting
+    near-identical crawl snapshots (low JSD ⇒ merging adds no diversity).
+
+    Scale shape: the corpus collapses to per-(source, token) counts in one
+    partial+final hash aggregate (vocabulary × sources rows out, map-side
+    combined). The token-keyed self-join that forms pairs fans out per
+    token only to the sources carrying it; totals are a broadcast-sized
+    dimension (one row per source). At 10^12 docs the only corpus-sized
+    pass is the first explode+aggregate; everything downstream is
+    vocabulary-sized. Zero-count sides are materialized by a
+    vocabulary × sources grid (crossJoin with the broadcast totals) so
+    single-source tokens contribute their p·ln2 mass exactly — the grid
+    is |vocab|·|sources| rows, the same order as the count table itself
+    at bounded source counts.
+
+    Output: (s1, s2, n_common, jsd) per unordered source pair, exact
+    nano-nat integer sum, 9-decimal final round (jsd_*_sql shared with
+    the DuckDB oracle)."""
+    toks = docs.select(
+        F.col(source_col).alias("src"), F.explode(T.tokens(text_col)).alias("tok")
+    )
+    cnt = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
+    vocab = cnt.select("tok").distinct()
+    grid = vocab.crossJoin(F.broadcast(tot))
+    full = grid.join(cnt, ["src", "tok"], "left").fillna({"c": 0})
+    a = full.select(
+        F.col("src").alias("s1"),
+        "tok",
+        F.col("c").alias("c_a"),
+        F.col("t").alias("t_a"),
+    )
+    b = full.select(
+        F.col("src").alias("s2"),
+        "tok",
+        F.col("c").alias("c_b"),
+        F.col("t").alias("t_b"),
+    )
+    j = a.join(b, "tok").filter(F.col("s1") < F.col("s2"))
+    per_pair = j.groupBy("s1", "s2").agg(
+        F.sum(F.expr(jsd_term_int_expr_sql())).alias("sum_t"),
+        F.sum(
+            F.when((F.col("c_a") > 0) & (F.col("c_b") > 0), 1).otherwise(0)
+        ).alias("n_common"),
+    )
+    return per_pair.select(
+        "s1",
+        "s2",
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.expr(jsd_final_expr_sql()).alias("jsd"),
+    )
+
+
+def source_jsd_sql(
+    source_expr: str = "source", text_expr: str = "text", table: str = "documents"
+) -> str:
+    """DuckDB twin of source_jsd — same grid construction, same shared
+    term/final expression strings."""
+    toks = T.tokens_sql(text_expr)
+    return f"""
+WITH toks AS (
+  SELECT {source_expr} AS src, t.tok AS tok FROM {table}, unnest({toks}) AS t(tok)
+),
+cnt AS (SELECT src, tok, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1, 2),
+tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+vocab AS (SELECT DISTINCT tok FROM cnt),
+grid AS (SELECT v.tok, tot.src, tot.t FROM vocab v CROSS JOIN tot),
+fullg AS (
+  SELECT g.tok, g.src, COALESCE(c.c, 0) AS c, g.t
+  FROM grid g LEFT JOIN cnt c ON c.src = g.src AND c.tok = g.tok
+),
+j AS (
+  SELECT a.src AS s1, b.src AS s2,
+         a.c AS c_a, a.t AS t_a, b.c AS c_b, b.t AS t_b
+  FROM fullg a JOIN fullg b ON a.tok = b.tok AND a.src < b.src
+)
+SELECT s1, s2,
+       CAST(SUM(CASE WHEN c_a > 0 AND c_b > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+       {jsd_final_expr_sql("SUM(" + jsd_term_int_expr_sql() + ")")} AS jsd
+FROM j
+GROUP BY s1, s2
+"""

@@ -356,3 +356,137 @@ def test_source_novelty_python_oracle_and_invariant(spark, docs):
         expect[src] = (len(grams), novel, round(novel / len(grams), 9))
     assert out == expect
     assert sum(v[1] for v in out.values()) == len(all_grams)
+
+
+# --- containment refine (q64) -------------------------------------------------
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment = 1.0 while
+    Jaccard is small — the asymmetric-dup case the operator exists for."""
+    long_words = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(10, 16))  # 6 tokens -> 4 shingles
+    unrelated = " ".join(f"z{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, long_words), (2, excerpt), (3, unrelated)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    out = {
+        (r.doc_a, r.doc_b): r
+        for r in dedup.containment_pairs(docs, pairs, materialize=False).collect()
+    }
+    assert (1, 2) in out and (1, 3) not in out
+    r = out[(1, 2)]
+    assert r.containment == 1.0 and r.inter == r.n_b
+    # the same pair's Jaccard is far below any dedup threshold
+    j = {
+        (x.doc_a, x.doc_b): x.jaccard
+        for x in dedup.ngram_jaccard_pairs(docs, pairs, materialize=False).collect()
+    }
+    assert j[(1, 2)] < 0.1
+
+
+def test_containment_expr_matches_duckdb(spark):
+    """Shared-formula rule: the same expression string evaluates
+    identically on a literal row in both engines."""
+    expr = dedup.containment_expr_sql()
+    row = spark.sql(f"SELECT {expr} AS c FROM VALUES (3, 4, 10) AS t(inter, n_a, n_b)").collect()
+    duck = duckdb.connect().execute(
+        f"SELECT {expr} AS c FROM (SELECT 3 AS inter, 4 AS n_a, 10 AS n_b)"
+    ).fetchone()
+    assert row[0].c == duck[0] == 0.75
+
+
+# --- source JSD (q65) ----------------------------------------------------------
+
+
+def _py_jsd_nano(rows):
+    """Pure-Python recomputation of source_jsd's exact nano-nat integer
+    definition (term-rounded, order-free)."""
+    from collections import Counter, defaultdict
+
+    cnt, tot = defaultdict(Counter), Counter()
+    for src, text in rows:
+        toks = text.split()
+        cnt[src].update(toks)
+        tot[src] += len(toks)
+    vocab = set()
+    for c in cnt.values():
+        vocab |= set(c)
+    out = {}
+    srcs = sorted(cnt)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            s, ncommon = 0, 0
+            for tok in vocab:
+                ca, cb = cnt[sa][tok], cnt[sb][tok]
+                p, q = ca / tot[sa], cb / tot[sb]
+                term = 0.0
+                if ca > 0:
+                    term += p * math.log(2.0 * p / (p + q))
+                if cb > 0:
+                    term += q * math.log(2.0 * q / (p + q))
+                s += int(_round_half_even(term * 500000000.0))
+                if ca > 0 and cb > 0:
+                    ncommon += 1
+            out[(sa, sb)] = (ncommon, round(s / 1e9, 9))
+    return out
+
+
+def _round_half_even(x):
+    # Spark/DuckDB round() is half-away-from-zero on doubles
+    import decimal
+
+    return int(
+        decimal.Decimal(x).quantize(decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP)
+    )
+
+
+def test_source_jsd_identical_and_disjoint(spark):
+    """Identical distributions -> exactly 0; disjoint vocabularies ->
+    ln 2 (the JSD upper bound) within per-token rounding."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c a", "s1"),
+            (2, "a b c a", "s2"),
+            (3, "x y z x", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r.s1, r.s2): r.jsd
+        for r in dedup.source_jsd(docs, source_col="source").collect()
+    }
+    assert out[("s1", "s2")] == 0.0
+    assert abs(out[("s1", "s3")] - math.log(2)) < 1e-6
+    assert abs(out[("s2", "s3")] - math.log(2)) < 1e-6
+
+
+def test_source_jsd_python_oracle(spark, docs):
+    """Exact match (integer nano-nat definition) vs an independent pure-
+    Python recomputation on real sf0.001 documents."""
+    rows = [(r.source, r.text) for r in docs.select("source", "text").collect()]
+    expect = _py_jsd_nano(rows)
+    got = {
+        (r.s1, r.s2): (r.n_common, r.jsd)
+        for r in dedup.source_jsd(docs).collect()
+    }
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == expect[k], (k, got[k], expect[k])
+
+
+def test_source_jsd_symmetric_bounds(spark, docs):
+    """JSD is within [0, ln 2] everywhere on real data."""
+    for r in dedup.source_jsd(docs).collect():
+        assert -1e-9 <= r.jsd <= math.log(2) + 1e-9
+
+
+def test_source_jsd_totals_grid_is_broadcast(spark, docs):
+    """The vocab x sources grid must come from a BROADCAST of the tiny
+    per-source totals (one row per source) — never a shuffle of the
+    vocabulary side."""
+    plan = dedup.source_jsd(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

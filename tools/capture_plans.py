@@ -174,6 +174,14 @@ def main() -> None:
          "per-gram first-carrier min() -> tiny per-source counts; no "
          "self-join at all)",
          e.q62_source_novelty(spark, SF)),
+        ("Containment excerpt-dup refine (q64: the q11 pruned "
+         "candidate-volume plan — semi-join prune below the shingle "
+         "explode — plus one projection + filter; no new shuffle)",
+         e.q64_containment(spark, SF)),
+        ("Source JSD (q65: ONE corpus-sized explode+agg; vocab x sources "
+         "grid via broadcast totals; token-keyed pair join; exact "
+         "nano-nat integer sums — no order-dependent float agg)",
+         e.q65_source_jsd(spark, SF)),
     ]
     bucketed_agg, bucketed_join = _bucketed_plans(spark, docs)
     sections += [
