@@ -1219,7 +1219,10 @@ def jsd_final_expr_sql(sum_col: str = "sum_t") -> str:
 
 
 def source_jsd(
-    docs: DataFrame, source_col: str = "source", text_col: str = "text"
+    docs: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    materialize: bool = True,
 ) -> DataFrame:
     """Pairwise Jensen–Shannon divergence between per-source unigram
     distributions — the distributional complement of the set-overlap
@@ -1241,6 +1244,19 @@ def source_jsd(
     is |vocab|·|sources| rows, the same order as the count table itself
     at bounded source counts.
 
+    Fan-out materialization: the count table feeds THREE consumers
+    (totals, vocab, the grid join) and the zero-filled grid feeds both
+    sides of the pair self-join; without materialization Catalyst
+    re-derives each consumer from scratch — the physical plan scans and
+    explodes the corpus SIX times (no static exchange reuse across plan
+    branches, the ngram_jaccard_pairs trap). `materialize=True`
+    localCheckpoints both bounded intermediates (lazily — no job
+    barrier), collapsing the plan to ONE corpus pass; a plan test
+    asserts the single-scan shape. Storage lifetime follows the
+    ngram_jaccard_pairs rule: checkpointed partitions persist until the
+    RDDs are garbage-collected; long-lived sessions looping this op
+    should clear storage between invocations.
+
     Output: (s1, s2, n_common, jsd) per unordered source pair, exact
     nano-nat integer sum, 9-decimal final round (jsd_*_sql shared with
     the DuckDB oracle)."""
@@ -1248,10 +1264,14 @@ def source_jsd(
         F.col(source_col).alias("src"), F.explode(T.tokens(text_col)).alias("tok")
     )
     cnt = toks.groupBy("src", "tok").agg(F.count(F.lit(1)).alias("c"))
+    if materialize:
+        cnt = cnt.localCheckpoint(eager=False)
     tot = cnt.groupBy("src").agg(F.sum("c").alias("t"))
     vocab = cnt.select("tok").distinct()
     grid = vocab.crossJoin(F.broadcast(tot))
     full = grid.join(cnt, ["src", "tok"], "left").fillna({"c": 0})
+    if materialize:
+        full = full.localCheckpoint(eager=False)
     a = full.select(
         F.col("src").alias("s1"),
         "tok",

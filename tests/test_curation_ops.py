@@ -487,6 +487,14 @@ def test_source_jsd_symmetric_bounds(spark, docs):
 def test_source_jsd_totals_grid_is_broadcast(spark, docs):
     """The vocab x sources grid must come from a BROADCAST of the tiny
     per-source totals (one row per source) — never a shuffle of the
-    vocabulary side."""
-    plan = dedup.source_jsd(docs)._jdf.queryExecution().executedPlan().toString()
+    vocabulary side. Inspected on the unmaterialized plan: with
+    materialize=True the grid join is executed inside the localCheckpoint
+    lineage and the outer plan only shows the checkpointed scan (the
+    single-corpus-scan shape is asserted in test_plans)."""
+    plan = (
+        dedup.source_jsd(docs, materialize=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -336,3 +336,23 @@ def test_lsh_greedy_keep_has_no_join(spark):
     assert "CartesianProduct" not in plan
     # the bucket-min is a window, the all-bands-won is a hash aggregate
     assert "Window" in plan and "HashAggregate" in plan
+
+
+def test_source_jsd_scans_corpus_once(spark):
+    """q65's scale contract: the ONLY corpus-sized pass is the first
+    explode+aggregate into per-(source, token) counts. The count table
+    fans out to three consumers (totals, vocab, grid join) and the
+    zero-filled grid feeds BOTH sides of the pair self-join — without
+    materialization Catalyst re-derives each branch and the plan scans
+    the corpus six times. With materialize=True both bounded
+    intermediates are localCheckpointed: exactly one parquet scan of
+    documents may remain anywhere in the plan."""
+    from geotiff_tiler_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(dedup.source_jsd(docs))
+    assert plan.count("documents.parquet") <= 1, plan
+    # and the unmaterialized form really is the six-scan trap (guards the
+    # assertion above against a future Catalyst change making it vacuous)
+    plan_raw = _plan(dedup.source_jsd(docs, materialize=False))
+    assert plan_raw.count("documents.parquet") > 1
