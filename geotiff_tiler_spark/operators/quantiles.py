@@ -90,7 +90,11 @@ def quantiles_select_sql(
 
 
 def robust_outlier_gate(
-    df: DataFrame, group_cols: list[str], value_col: str, cut: int = 3
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    cut: int = 3,
+    materialize: bool = True,
 ) -> DataFrame:
     """Robust per-group outlier gate: flag rows where
     |value - median| > cut * MAD (median absolute deviation) — the
@@ -98,33 +102,66 @@ def robust_outlier_gate(
     count), where mean/stddev gates are dragged by the very outliers
     they should catch.
 
-    Composes :func:`grouped_exact_quantiles` twice — median of the
-    value, then median of the absolute deviations — so both passes are
-    the bounded histogram shape (the deviation domain is at most the
-    value domain's width). The per-group (median, MAD) tables are tiny
-    and broadcast back; the flag itself is a pure integer comparison
-    (`dev > cut * mad`, no float), and the corpus is scanned, never
-    sorted. Output per group: n_rows, med, mad, n_out,
-    out_frac (round 9).
+    ONE corpus pass: the input collapses to a per-(group, value)
+    histogram (at most |group| x |domain| rows), and everything else —
+    median, the deviation histogram (counts re-keyed by |v - med|, no
+    second scan), MAD, and the outlier tally itself (n_out = the
+    histogram mass where dev > cut * MAD) — is derived from that bounded
+    frame. The earlier formulation composed grouped_exact_quantiles
+    twice over the RAW rows and re-joined the corpus for the flag: four
+    corpus scans in the physical plan. The histogram fans out to three
+    consumers, so `materialize=True` lazily localCheckpoints it. The
+    flag is a pure integer comparison (`dev > cut * mad`, no float).
+    Output per group: n_rows, med, mad, n_out, out_frac (round 9) —
+    value-identical to the row-level formulation (the histogram is a
+    lossless regrouping of the same integers).
     """
-    med = grouped_exact_quantiles(df, group_cols, value_col, (("med", 1, 2),)).select(
-        *group_cols, "med"
+    hist = df.groupBy(*group_cols, value_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    if materialize:
+        hist = hist.localCheckpoint(eager=False)
+    w_cum = Window.partitionBy(*group_cols).orderBy(F.col(value_col).asc())
+    w_all = Window.partitionBy(*group_cols)
+    c = hist.withColumn("_cum", F.sum("_cnt").over(w_cum)).withColumn(
+        "_n", F.sum("_cnt").over(w_all)
     )
-    dev = df.join(F.broadcast(med), group_cols).withColumn(
-        "_dev", F.abs(F.col(value_col) - F.col("med"))
+    med_hit = F.when(F.col("_cum") >= _target(F.col("_n"), 1, 2), F.col(value_col))
+    med = c.groupBy(*group_cols).agg(F.min(med_hit).alias("med"))
+    devh = (
+        hist.join(F.broadcast(med), group_cols)
+        .withColumn("_dev", F.abs(F.col(value_col) - F.col("med")))
+        .groupBy(*group_cols, "med", "_dev")
+        .agg(F.sum("_cnt").alias("_cnt"))
     )
-    mad = grouped_exact_quantiles(dev, group_cols, "_dev", (("mad", 1, 2),)).select(
-        *group_cols, "mad"
-    )
-    flagged = dev.join(F.broadcast(mad), group_cols).withColumn(
-        "_out", (F.col("_dev") > F.lit(cut) * F.col("mad")).cast("bigint")
-    )
-    return flagged.groupBy(*group_cols).agg(
-        F.count(F.lit(1)).alias("n_rows"),
+    dc = devh.withColumn(
+        "_cum",
+        F.sum("_cnt").over(
+            Window.partitionBy(*group_cols).orderBy(F.col("_dev").asc())
+        ),
+    ).withColumn("_n", F.sum("_cnt").over(w_all))
+    mad_hit = F.when(F.col("_cum") >= _target(F.col("_n"), 1, 2), F.col("_dev"))
+    stats = dc.groupBy(*group_cols).agg(
         F.max("med").alias("med"),
-        F.max("mad").alias("mad"),
-        F.sum("_out").cast("bigint").alias("n_out"),
-        F.round(F.sum("_out").cast("double") / F.count(F.lit(1)), 9).alias("out_frac"),
+        F.min(mad_hit).alias("mad"),
+        F.sum("_cnt").cast("bigint").alias("n_rows"),
+    )
+    tally = (
+        devh.join(F.broadcast(stats.select(*group_cols, "mad")), group_cols)
+        .withColumn(
+            "_out",
+            F.when(F.col("_dev") > F.lit(cut) * F.col("mad"), F.col("_cnt")).otherwise(
+                F.lit(0)
+            ),
+        )
+        .groupBy(*group_cols)
+        .agg(F.sum("_out").cast("bigint").alias("n_out"))
+    )
+    return stats.join(tally, group_cols).select(
+        *group_cols,
+        "n_rows",
+        "med",
+        "mad",
+        "n_out",
+        F.round(F.col("n_out").cast("double") / F.col("n_rows"), 9).alias("out_frac"),
     )
 
 

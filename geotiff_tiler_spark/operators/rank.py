@@ -193,6 +193,7 @@ def unigram_nll(
     docs: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    materialize: bool = True,
 ) -> DataFrame:
     """Per-document unigram negative log likelihood (quality proxy): the
     mean -ln p(token) under the corpus's own unigram distribution. High
@@ -208,6 +209,12 @@ def unigram_nll(
     the |head-vocab| rows that carry most of the mass would be broadcast
     and only the tail shuffled), and a per-doc aggregate. The corpus is
     scanned twice (vocab pass + join pass), both column-pruned.
+    total_tokens is SUM(c) over the vocab counts — the same integer as a
+    separate SUM(token_count) over docs, without the third corpus-wide
+    re-tokenize pass that scan used to cost; and the count table fans out
+    to that totals agg plus the logprob projection, so `materialize=True`
+    lazily localCheckpoints it (vocabulary-sized) to keep the plan at the
+    documented two corpus passes.
 
     Output: (doc_id, n_tokens, nll) for every doc with >= 1 token. The
     per-doc aggregation sums EXACT nano-nat integers (nll_lp_int_expr_sql)
@@ -215,7 +222,9 @@ def unigram_nll(
     output is only deterministic because the sum is integral."""
     toks = docs.select(F.col(id_col), F.explode(T.tokens(text_col)).alias("tok"))
     cnt = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
-    stats = docs.agg(F.sum(T.token_count(text_col)).alias("total_tokens"))
+    if materialize:
+        cnt = cnt.localCheckpoint(eager=False)
+    stats = cnt.agg(F.sum("c").cast("bigint").alias("total_tokens"))
     lp = cnt.crossJoin(F.broadcast(stats)).withColumn(
         "lp_int", F.expr(nll_lp_int_expr_sql())
     )
@@ -382,6 +391,7 @@ def bigram_lift_topk(
     text_col: str = "text",
     k: int = 10,
     min_count: int = LIFT_MIN_COUNT,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-k bigram collocations per group by LIFT — observed bigram
     frequency over the frequency expected if its two words were
@@ -406,6 +416,14 @@ def bigram_lift_topk(
 
     occ = docs.select(*group_cols, F.explode(T.tokens(text_col)).alias("w"))
     uni = occ.groupBy(*group_cols, "w").agg(F.count(F.lit(1)).alias("c"))
+    if materialize:
+        # uni fans out to THREE consumers (totals, w1 join, w2 join);
+        # without materialization each branch re-derives it from scratch
+        # and the corpus token explode runs three times (plus the bigram
+        # explode: four corpus passes in the physical plan). One lazy
+        # localCheckpoint of the vocabulary-sized count table collapses
+        # the plan to the documented two corpus-sized passes.
+        uni = uni.localCheckpoint(eager=False)
     totals = uni.groupBy(*group_cols).agg(F.sum("c").alias("n_tok"))
     bg = docs.select(
         *group_cols, F.explode(T.shingles(text_col, 2)).alias("bigram")

@@ -101,7 +101,11 @@ def unit_interval_key_sql(expr: str) -> str:
 
 
 def mixture_resample(
-    df: DataFrame, stratum_col: str, id_col: str, weights: dict[str, int]
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    weights: dict[str, int],
+    materialize: bool = True,
 ) -> DataFrame:
     """Resample the corpus to TARGET mixture proportions, deterministically.
 
@@ -132,6 +136,13 @@ def mixture_resample(
         .filter(F.col("_w").isNotNull())
         .withColumn("_cap", F.floor((F.col("_n_s") * F.lit(wsum)) / F.col("_w")))
     )
+    if materialize:
+        # caps fans out to the global-min agg AND the rate projection;
+        # un-materialized, each branch re-derives it and the corpus count
+        # scan runs twice (three in-plan scans next to the final join).
+        # The frame is |strata| rows — lazy localCheckpoint pins the plan
+        # at the documented two corpus passes (count + filter).
+        caps = caps.localCheckpoint(eager=False)
     t = caps.agg(F.min("_cap").alias("_T"))
     rates = caps.crossJoin(F.broadcast(t)).select(
         stratum_col,

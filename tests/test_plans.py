@@ -356,3 +356,42 @@ def test_source_jsd_scans_corpus_once(spark):
     # assertion above against a future Catalyst change making it vacuous)
     plan_raw = _plan(dedup.source_jsd(docs, materialize=False))
     assert plan_raw.count("documents.parquet") > 1
+
+
+def test_bounded_fanout_aggregates_are_materialized(spark):
+    """Round-5 scan audit: ops whose bounded aggregate fans out to
+    several consumers must localCheckpoint it — otherwise Catalyst
+    re-derives every branch and the corpus is scanned 3-6x (no static
+    exchange reuse across plan branches). Pin the in-plan parquet scan
+    count of each fixed op; the one corpus pass hidden inside the
+    checkpoint lineage is not in-plan, so the bound is consumers-only.
+    Corpus-sized intermediates (q51/q55 gram rows) follow the opposite
+    fused-recompute rule and are NOT expected here."""
+    from geotiff_tiler_spark.operators import dedup, quantiles, rank, sampling
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bounds = [
+        ("unigram_nll", rank.unigram_nll(docs), 1),  # the join pass
+        (
+            "bigram_lift",
+            rank.bigram_lift_topk(docs, ["lang"]),
+            1,  # the bigram-explode pass (token pass is checkpointed)
+        ),
+        (
+            "robust_outlier_gate",
+            quantiles.robust_outlier_gate(docs, ["lang"], "n_chars"),
+            0,  # everything derives from the checkpointed histogram
+        ),
+        (
+            "mixture_resample",
+            sampling.mixture_resample(
+                docs, "lang", "doc_id", {"en": 3, "zh": 1, "de": 1, "fr": 1, "es": 1}
+            ),
+            1,  # the final filter pass (count pass is checkpointed)
+        ),
+        ("source_jsd", dedup.source_jsd(docs), 1),
+    ]
+    for name, df, max_scans in bounds:
+        plan = _plan(df)
+        n = plan.count("documents.parquet")
+        assert n <= max_scans, (name, n, max_scans)
