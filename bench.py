@@ -65,6 +65,7 @@ HEADLINE = [
     "q59_vocab_coverage",
     "q64_containment",
     "q65_source_jsd",
+    "q66_url_host_stats",
 ]
 
 

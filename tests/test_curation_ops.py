@@ -498,3 +498,56 @@ def test_source_jsd_totals_grid_is_broadcast(spark, docs):
         .toString()
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+# ---------------------------------------------------------------------------
+# q66: URL canonicalization + per-host re-crawl stats (functions/url.py)
+# ---------------------------------------------------------------------------
+
+def test_url_six_variants_collapse(spark):
+    """Each group of six doc_ids is six raw forms of ONE page: case mess,
+    :443, www., utm+trailing-slash, fragment all canonicalize away."""
+    from geotiff_tiler_spark.functions import url as U
+
+    df = spark.range(12).withColumnRenamed("id", "doc_id")
+    raw = U.raw_url_sql("doc_id")
+    out = df.select(
+        "doc_id",
+        F.expr(raw).alias("raw"),
+        F.expr(U.canonical_url_sql(raw)).alias("canon"),
+    ).collect()
+    by_group = {}
+    for r in out:
+        by_group.setdefault(r.doc_id // 6, set()).add(r.canon)
+        assert r.canon.startswith("https://d") and "example.com/p/" in r.canon
+    assert all(len(v) == 1 for v in by_group.values()), by_group
+    # six distinct raw forms per group (nothing accidentally pre-canonical)
+    raws = {r.doc_id // 6: set() for r in out}
+    for r in out:
+        raws[r.doc_id // 6].add(r.raw)
+    assert all(len(v) == 6 for v in raws.values())
+    # spot-check the exact canonical string for group 0
+    g0 = next(r.canon for r in out if r.doc_id == 0)
+    assert g0 == "https://d7.example.com/p/0"
+
+
+def test_url_host_stats_values(spark):
+    """On 6*k consecutive ids every host has dup_rate 5/6 and the host
+    comes from the group id, not the row id."""
+    import __spark_entry__ as e
+    from geotiff_tiler_spark.functions import url as U
+
+    df = spark.range(60).withColumnRenamed("id", "doc_id")
+    canon = U.canonical_url_sql(U.raw_url_sql("doc_id"))
+    d = df.select(
+        "doc_id",
+        F.expr(canon).alias("canonical"),
+        F.expr(U.host_sql(canon)).alias("host"),
+    )
+    agg = d.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("canonical").alias("n_canonical"),
+    ).collect()
+    assert sum(r.n_pages for r in agg) == 60
+    for r in agg:
+        assert r.n_pages == 6 * r.n_canonical, r

@@ -182,6 +182,11 @@ def main() -> None:
          "grid via broadcast totals; token-keyed pair join; exact "
          "nano-nat integer sums — no order-dependent float agg)",
          e.q65_source_jsd(spark, SF)),
+        ("URL canonicalization + host re-crawl stats (q66: pure codegen "
+         "string expressions — zero UDF, no shuffle before the agg; "
+         "COUNT(DISTINCT) expands to the two-phase (host, canonical) "
+         "pre-aggregate so hot hosts stay off single tasks)",
+         e.q66_url_host_stats(spark, SF)),
     ]
     bucketed_agg, bucketed_join = _bucketed_plans(spark, docs)
     sections += [
