@@ -1180,6 +1180,40 @@ def q66_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q67_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl collapse: keep the LATEST crawl per canonical URL
+    (warc_ts argmax, doc_id tiebreak) — the step a continuous-crawl
+    corpus runs right after q66's canonicalization and before the
+    content-dedup ladder. Spark side is ONE partial+final aggregate on
+    the canonical key: `max(struct(warc_ts, doc_id))` combines map-side,
+    so no task ever sees a whole hot URL's snapshot history and there is
+    NO window sort anywhere in the plan (plan-asserted in
+    test_curation_ops). The oracle is the independent window
+    formulation (ROW_NUMBER ... ORDER BY warc_ts DESC, doc_id DESC),
+    so argmax semantics — including the tiebreak — are cross-checked,
+    not shared. warc_ts is deterministically derived and non-monotone
+    in doc_id (functions/url.warc_ts_sql), so the winner is never just
+    max(doc_id)."""
+    docs = _docs(spark, sf_dir)
+    canon = U.canonical_url_sql(U.raw_url_sql("doc_id"))
+    d = docs.select(
+        "doc_id",
+        F.expr(canon).alias("canonical"),
+        F.expr(U.warc_ts_sql("doc_id")).alias("warc_ts"),
+    )
+    kept = d.groupBy("canonical").agg(
+        F.max(F.struct(F.col("warc_ts"), F.col("doc_id"))).alias("_w"),
+        F.count(F.lit(1)).alias("n_snapshots"),
+    )
+    return kept.select(
+        "canonical",
+        F.expr(U.host_sql("canonical")).alias("host"),
+        F.col("_w.doc_id").alias("kept_doc"),
+        F.col("_w.warc_ts").alias("kept_ts"),
+        "n_snapshots",
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1269,6 +1303,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q64_containment": q64_containment,
         "q65_source_jsd": q65_source_jsd,
         "q66_url_host_stats": q66_url_host_stats,
+        "q67_latest_snapshot": q67_latest_snapshot,
     }
 
 
@@ -2087,6 +2122,25 @@ WITH c AS (
 )
 SELECT host, n_pages, n_canonical, {U.dup_rate_sql()} AS dup_rate, min_doc
 FROM agg
+""",
+        # q67: INDEPENDENT window formulation of the argmax (Spark does a
+        # struct-max aggregate) — same derivation helpers, different op
+        "q67_latest_snapshot": f"""
+WITH c AS (
+  SELECT doc_id,
+         {U.canonical_url_sql(U.raw_url_sql('doc_id'))} AS canonical,
+         {U.warc_ts_sql('doc_id')} AS warc_ts
+  FROM documents
+), r AS (
+  SELECT canonical, doc_id, warc_ts,
+         ROW_NUMBER() OVER (PARTITION BY canonical
+                            ORDER BY warc_ts DESC, doc_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY canonical) AS n_snapshots
+  FROM c
+)
+SELECT canonical, {U.host_sql('canonical')} AS host,
+       doc_id AS kept_doc, warc_ts AS kept_ts, n_snapshots
+FROM r WHERE rn = 1
 """,
         "q12_simhash": r"""
 SELECT doc_id,

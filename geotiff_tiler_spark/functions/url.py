@@ -83,6 +83,16 @@ def host_sql(canonical_sql: str) -> str:
     return f"split_part(split_part({canonical_sql}, '://', 2), '/', 1)"
 
 
+def warc_ts_sql(id_col: str = "doc_id") -> str:
+    """Epoch-second crawl timestamp, deterministic and NON-monotone in
+    doc_id (jitter step 40503 shares only a factor 3 with the 86400-s
+    day, so consecutive ids in a six-form group land on distinct
+    seconds in scrambled order) — the latest-snapshot winner is never
+    just ``max(doc_id)``, which would let an argmax-on-the-wrong-column
+    bug pass the contract. Fits int64 far past 10^12 docs."""
+    return f"(1690000000 + ({id_col} * 40503 + 13) % 86400)"
+
+
 def dup_rate_sql(n_col: str = "n_pages", canon_col: str = "n_canonical") -> str:
     """Exact small-int division, rounded once at the end (both engines
     compute the identical double)."""

@@ -551,3 +551,51 @@ def test_url_host_stats_values(spark):
     assert sum(r.n_pages for r in agg) == 60
     for r in agg:
         assert r.n_pages == 6 * r.n_canonical, r
+
+
+# ---------------------------------------------------------------------------
+# q67: latest-snapshot re-crawl collapse (url.warc_ts_sql + struct-max agg)
+# ---------------------------------------------------------------------------
+
+def _py_warc_ts(doc_id: int) -> int:
+    return 1690000000 + (doc_id * 40503 + 13) % 86400
+
+
+def test_latest_snapshot_winner_parity(spark, tmp_path):
+    """Struct-max winner per canonical group equals the pure-Python
+    argmax over (warc_ts, doc_id) — and is NOT simply max(doc_id)."""
+    import __spark_entry__ as e
+
+    n = 120
+    df = spark.range(n).withColumnRenamed("id", "doc_id").selectExpr(
+        "doc_id", "'x' AS text", "'en' AS lang", "'s' AS source",
+        "1 AS n_chars",
+    )
+    path = str(tmp_path / "documents.parquet")
+    df.coalesce(1).write.parquet(path)
+    out = {r.kept_doc: r for r in e.q67_latest_snapshot(spark, str(tmp_path)).collect()}
+    winners = set()
+    for g in range(0, n, 6):
+        ids = range(g, g + 6)
+        w = max(ids, key=lambda i: (_py_warc_ts(i), i))
+        winners.add(w)
+        assert w in out, (g, sorted(out))
+        assert out[w].n_snapshots == 6
+        assert out[w].kept_ts == _py_warc_ts(w)
+    assert set(out) == winners
+    # non-degenerate: at least one group's winner is not its max doc_id
+    assert any(w % 6 != 5 for w in winners), winners
+
+
+def test_latest_snapshot_plan_has_no_window(spark, docs):
+    """The argmax must stay a partial+final aggregate (map-side combine):
+    a Window here would sort every hot URL's history on one task."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    plan = (
+        e.q67_latest_snapshot(spark, sf)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan, plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan

@@ -187,6 +187,10 @@ def main() -> None:
          "COUNT(DISTINCT) expands to the two-phase (host, canonical) "
          "pre-aggregate so hot hosts stay off single tasks)",
          e.q66_url_host_stats(spark, SF)),
+        ("Latest-snapshot re-crawl collapse (q67: struct-max partial+final "
+         "aggregate on the canonical key — map-side combine, NO window "
+         "sort; a hot URL's snapshot history never lands on one task)",
+         e.q67_latest_snapshot(spark, SF)),
     ]
     bucketed_agg, bucketed_join = _bucketed_plans(spark, docs)
     sections += [
