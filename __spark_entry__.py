@@ -1214,6 +1214,73 @@ def q67_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q68_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph (the Common-Crawl webgraph rung): links
+    extracted from the q67 kept snapshots (3 deterministic out-links
+    per page, self-loops excluded by construction), collapsed to a
+    weighted host-edge table, then per-host out/in degree, total link
+    volume, and ONE integer-exact PageRank iteration from the uniform
+    start (d=0.85) in nano units — every division is the portable
+    intdiv (url.intdiv_sql), so the score is bit-identical cross-engine
+    with no float in sight.
+
+    Scale shape: the page-level edge stream (3x corpus rows) collapses
+    by (src,dst) in ONE partial+final agg — map-side combine absorbs
+    the fan-out, and everything downstream (degrees, the contrib join,
+    PR) runs on the host-graph-sized table (~1e8 rows at web scale,
+    vs 1e12 pages). The contrib join keys on src = the collapse's own
+    partitioning, so AQE plans it without a second full shuffle."""
+    kept = q67_latest_snapshot(spark, sf_dir).select("kept_doc")
+    targets = F.array(
+        *[F.expr(U.link_target_sql("kept_doc", j))
+          for j in range(1, U.N_OUT_LINKS + 1)]
+    )
+    edges_page = kept.select(
+        F.expr(U._dom_sql("kept_doc")).alias("src"),
+        F.explode(targets).alias("dst"),
+    )
+    # host_edges fans out to out_deg AND the contrib join, out_deg to the
+    # contrib join AND the final full-outer: without materialization each
+    # branch re-runs the corpus-sized collapse (the CLAUDE.md fan-out
+    # rule) — lazy localCheckpoint pins both bounded, graph-sized frames
+    host_edges = (
+        edges_page.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .localCheckpoint(eager=False)
+    )
+    out_deg = (
+        host_edges.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("out_deg"),
+            F.sum("weight").alias("links_out"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    contrib = U.intdiv_sql("1000000000", f"{U.N_URL_HOSTS} * out_deg")
+    in_agg = (
+        host_edges.join(out_deg, "src")
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("in_deg"),
+            F.sum(F.expr(contrib)).alias("contrib_sum"),
+        )
+    )
+    base = U.intdiv_sql("15000000000", f"100 * {U.N_URL_HOSTS}")
+    joined = out_deg.withColumnRenamed("src", "h").join(
+        in_agg.withColumnRenamed("dst", "h"), "h", "full_outer"
+    )
+    return joined.select(
+        F.expr(U.host_name_sql("h")).alias("host"),
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        F.coalesce("links_out", F.lit(0)).alias("links_out"),
+        (
+            F.expr(base)
+            + F.expr(U.intdiv_sql("85 * COALESCE(contrib_sum, 0)", "100"))
+        ).alias("pr1_nano"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1304,6 +1371,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q65_source_jsd": q65_source_jsd,
         "q66_url_host_stats": q66_url_host_stats,
         "q67_latest_snapshot": q67_latest_snapshot,
+        "q68_host_graph": q68_host_graph,
     }
 
 
@@ -2141,6 +2209,41 @@ WITH c AS (
 SELECT canonical, {U.host_sql('canonical')} AS host,
        doc_id AS kept_doc, warc_ts AS kept_ts, n_snapshots
 FROM r WHERE rn = 1
+""",
+        # q68: independent formulation — one DISTINCT group row replaces
+        # the whole q67 winner chain (links depend only on the canonical
+        # group, so any representative yields the same edges; the two
+        # plans MUST agree), aggregates inlined differently
+        "q68_host_graph": f"""
+WITH pages AS (
+  SELECT DISTINCT (doc_id - doc_id % 6) AS g FROM documents
+), e AS (
+  SELECT {U._dom_sql('g')} AS src, {U.link_target_sql('g', 1)} AS dst FROM pages
+  UNION ALL
+  SELECT {U._dom_sql('g')} AS src, {U.link_target_sql('g', 2)} AS dst FROM pages
+  UNION ALL
+  SELECT {U._dom_sql('g')} AS src, {U.link_target_sql('g', 3)} AS dst FROM pages
+), he AS (
+  SELECT src, dst, COUNT(*) AS weight FROM e GROUP BY src, dst
+), od AS (
+  SELECT src, COUNT(*) AS out_deg, CAST(SUM(weight) AS BIGINT) AS links_out
+  FROM he GROUP BY src
+), ia AS (
+  SELECT dst, COUNT(*) AS in_deg,
+         CAST(SUM({U.intdiv_sql('1000000000', f'{U.N_URL_HOSTS} * out_deg')}) AS BIGINT)
+           AS contrib_sum
+  FROM he JOIN od USING (src) GROUP BY dst
+), u AS (
+  SELECT COALESCE(od.src, ia.dst) AS h, out_deg, links_out, in_deg, contrib_sum
+  FROM od FULL OUTER JOIN ia ON od.src = ia.dst
+)
+SELECT {U.host_name_sql('h')} AS host,
+       COALESCE(out_deg, 0) AS out_deg,
+       COALESCE(in_deg, 0) AS in_deg,
+       COALESCE(links_out, 0) AS links_out,
+       {U.intdiv_sql('15000000000', f'100 * {U.N_URL_HOSTS}')}
+         + {U.intdiv_sql('85 * COALESCE(contrib_sum, 0)', '100')} AS pr1_nano
+FROM u
 """,
         "q12_simhash": r"""
 SELECT doc_id,

@@ -93,6 +93,39 @@ def warc_ts_sql(id_col: str = "doc_id") -> str:
     return f"(1690000000 + ({id_col} * 40503 + 13) % 86400)"
 
 
+N_OUT_LINKS = 3
+
+
+def link_target_sql(id_col: str, j: int) -> str:
+    """Host id of the j-th out-link (j in 1..N_OUT_LINKS) of the page
+    containing ``id_col``. Derived from the canonical GROUP id (all six
+    raw forms link identically) with an offset in [1, N-1], so a page
+    NEVER links to its own host — the self-loop filter is by
+    construction, not a predicate. Two links of one page MAY hit the
+    same target host (real corpora do); the host-edge collapse
+    deduplicates. Engine-portable integer arithmetic only."""
+    if not 1 <= j <= N_OUT_LINKS:
+        raise ValueError(f"j must be in 1..{N_OUT_LINKS}")
+    g = f"({id_col} - {id_col} % 6)"
+    src = _dom_sql(id_col)
+    off = f"(1 + ({g} * {17 + j} + {j * j * 5}) % {N_URL_HOSTS - 1})"
+    return f"(({src} + {off}) % {N_URL_HOSTS})"
+
+
+def intdiv_sql(a_sql: str, b_sql: str) -> str:
+    """Portable exact integer division for 0 <= a < 2^53: Spark has no
+    ``//`` and DuckDB's ``/`` is float division, but (a - a % b) is
+    exactly divisible so the quotient is an integer-valued double in
+    BOTH engines — the final cast is exact, no round-vs-truncate
+    hazard (the CLAUDE.md CAST rule does not bite on integers)."""
+    return f"CAST((({a_sql}) - ({a_sql}) % ({b_sql})) / ({b_sql}) AS BIGINT)"
+
+
+def host_name_sql(dom_sql: str) -> str:
+    """Host id -> the canonical host string (matches host_sql output)."""
+    return f"('d' || CAST({dom_sql} AS STRING) || '.example.com')"
+
+
 def dup_rate_sql(n_col: str = "n_pages", canon_col: str = "n_canonical") -> str:
     """Exact small-int division, rounded once at the end (both engines
     compute the identical double)."""

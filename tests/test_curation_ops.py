@@ -599,3 +599,55 @@ def test_latest_snapshot_plan_has_no_window(spark, docs):
     )
     assert "Window" not in plan, plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan or "SortAggregate" in plan
+
+
+# ---------------------------------------------------------------------------
+# q68: host link graph (degrees + integer-exact 1-iteration PageRank)
+# ---------------------------------------------------------------------------
+
+def test_host_graph_pure_python_parity(spark, tmp_path):
+    """Degrees, link volume, and the nano-unit PageRank equal a from-
+    scratch pure-Python computation of the same derivation."""
+    import __spark_entry__ as e
+
+    N, n = 23, 240
+    df = spark.range(n).withColumnRenamed("id", "doc_id").selectExpr(
+        "doc_id", "'x' AS text", "'en' AS lang", "'s' AS source",
+        "1 AS n_chars",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    # pure-Python re-derivation
+    edges = []  # page-level (src, dst) multi-edges
+    for g in range(0, n, 6):
+        src = (g * 131 + 7) % N
+        for j in (1, 2, 3):
+            dst = (src + 1 + (g * (17 + j) + j * j * 5) % (N - 1)) % N
+            assert dst != src
+            edges.append((src, dst))
+    he = {}
+    for s, d in edges:
+        he[(s, d)] = he.get((s, d), 0) + 1
+    out_deg = {}; links_out = {}; in_deg = {}; contrib_sum = {}
+    for (s, d), w in he.items():
+        out_deg[s] = out_deg.get(s, 0) + 1
+        links_out[s] = links_out.get(s, 0) + w
+    for (s, d), w in he.items():
+        in_deg[d] = in_deg.get(d, 0) + 1
+        contrib_sum[d] = contrib_sum.get(d, 0) + 10**9 // (N * out_deg[s])
+    hosts = set(out_deg) | set(in_deg)
+    expected = {
+        f"d{h}.example.com": (
+            out_deg.get(h, 0), in_deg.get(h, 0), links_out.get(h, 0),
+            15 * 10**9 // (100 * N) + 85 * contrib_sum.get(h, 0) // 100,
+        )
+        for h in hosts
+    }
+    got = {
+        r.host: (r.out_deg, r.in_deg, r.links_out, r.pr1_nano)
+        for r in e.q68_host_graph(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    # PR mass sanity: total nano-mass stays within truncation slack of 1e9
+    total = sum(v[3] for v in got.values())
+    assert 10**9 - len(hosts) * (N + 100) < total <= 10**9

@@ -191,6 +191,11 @@ def main() -> None:
          "aggregate on the canonical key — map-side combine, NO window "
          "sort; a hot URL's snapshot history never lands on one task)",
          e.q67_latest_snapshot(spark, SF)),
+        ("Host link graph + integer PageRank (q68: page-level edge stream "
+         "collapses by (src,dst) in one map-side-combined agg; degrees, "
+         "contrib join and PR run on the graph-sized table only; the two "
+         "fan-out intermediates ride the localCheckpoint rule)",
+         e.q68_host_graph(spark, SF)),
     ]
     bucketed_agg, bucketed_join = _bucketed_plans(spark, docs)
     sections += [
