@@ -66,6 +66,8 @@ HEADLINE = [
     "q64_containment",
     "q65_source_jsd",
     "q66_url_host_stats",
+    "q67_latest_snapshot",
+    "q68_host_graph",
 ]
 
 
