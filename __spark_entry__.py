@@ -27,6 +27,7 @@ from geotiff_tiler_spark.functions import text as T
 from geotiff_tiler_spark.functions import url as U
 from geotiff_tiler_spark.operators import (
     dedup,
+    graph,
     knn,
     quantiles,
     rank,
@@ -1281,6 +1282,52 @@ def q68_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PAGERANK_ITERS = 4
+
+
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT (src, dst) host edges from the q67 kept snapshots —
+    the q68 derivation minus weights."""
+    kept = q67_latest_snapshot(spark, sf_dir).select("kept_doc")
+    targets = F.array(
+        *[F.expr(U.link_target_sql("kept_doc", j))
+          for j in range(1, U.N_OUT_LINKS + 1)]
+    )
+    return (
+        kept.select(
+            F.expr(U._dom_sql("kept_doc")).alias("src"),
+            F.explode(targets).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .select("src", "dst")
+    )
+
+
+def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-iteration PageRank over the host graph (operators/graph.py):
+    4 damped iterations from the uniform start, scores as EXACT nano-unit
+    BIGINTs (portable intdiv at every step — zero float, so an iterative
+    algorithm stays bit-identical cross-engine). Spark side is a real
+    DataFrame loop with lazily-localCheckpointed rounds (lineage bounded,
+    the kNN ring pattern); the oracle is the FULLY UNROLLED 4-layer CTE
+    chain (graph.pagerank_unroll_sql) — an independent relational
+    formulation of the same spec."""
+    edges = _host_edges(spark, sf_dir)
+    universe = (
+        edges.select(F.col("src").alias("h"))
+        .union(edges.select(F.col("dst").alias("h")))
+        .distinct()
+    )
+    pr = graph.pagerank_nano(
+        edges, universe, U.N_URL_HOSTS, PAGERANK_ITERS
+    )
+    return pr.select(
+        F.expr(U.host_name_sql("h")).alias("host"),
+        F.col("pr").alias("pr_nano"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1372,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q66_url_host_stats": q66_url_host_stats,
         "q67_latest_snapshot": q67_latest_snapshot,
         "q68_host_graph": q68_host_graph,
+        "q69_pagerank": q69_pagerank,
     }
 
 
@@ -2244,6 +2292,28 @@ SELECT {U.host_name_sql('h')} AS host,
        {U.intdiv_sql('15000000000', f'100 * {U.N_URL_HOSTS}')}
          + {U.intdiv_sql('85 * COALESCE(contrib_sum, 0)', '100')} AS pr1_nano
 FROM u
+""",
+        # q69: Spark runs a real iterative loop; the oracle is the fully
+        # UNROLLED 4-layer CTE chain — independent formulation, only the
+        # intdiv strings shared
+        "q69_pagerank": f"""
+WITH pages AS (
+  SELECT DISTINCT (doc_id - doc_id % 6) AS g FROM documents
+), e AS (
+  SELECT {U._dom_sql('g')} AS src, {U.link_target_sql('g', 1)} AS dst FROM pages
+  UNION ALL
+  SELECT {U._dom_sql('g')} AS src, {U.link_target_sql('g', 2)} AS dst FROM pages
+  UNION ALL
+  SELECT {U._dom_sql('g')} AS src, {U.link_target_sql('g', 3)} AS dst FROM pages
+), he AS (
+  SELECT DISTINCT src, dst FROM e
+), hosts AS (
+  SELECT DISTINCT h FROM (
+    SELECT src AS h FROM he UNION ALL SELECT dst AS h FROM he)
+),
+{graph.pagerank_unroll_sql(U.N_URL_HOSTS, PAGERANK_ITERS)}
+SELECT {U.host_name_sql('h')} AS host, pr AS pr_nano
+FROM pr{PAGERANK_ITERS}
 """,
         "q12_simhash": r"""
 SELECT doc_id,

@@ -68,6 +68,7 @@ HEADLINE = [
     "q66_url_host_stats",
     "q67_latest_snapshot",
     "q68_host_graph",
+    "q69_pagerank",
 ]
 
 

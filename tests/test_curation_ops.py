@@ -651,3 +651,72 @@ def test_host_graph_pure_python_parity(spark, tmp_path):
     # PR mass sanity: total nano-mass stays within truncation slack of 1e9
     total = sum(v[3] for v in got.values())
     assert 10**9 - len(hosts) * (N + 100) < total <= 10**9
+
+
+# ---------------------------------------------------------------------------
+# q69: multi-iteration integer-exact PageRank (operators/graph.py)
+# ---------------------------------------------------------------------------
+
+def _py_pagerank(edges: set, hosts: set, n_hosts: int, n_iter: int) -> dict:
+    """From-scratch reimplementation of the nano-unit spec."""
+    out_deg = {}
+    for s, d in edges:
+        out_deg[s] = out_deg.get(s, 0) + 1
+    pr = {h: 10**9 // n_hosts for h in hosts}
+    base = 15 * 10**9 // (100 * n_hosts)
+    for _ in range(n_iter):
+        csum = {}
+        for s, d in edges:
+            csum[d] = csum.get(d, 0) + pr[s] // out_deg[s]
+        pr = {h: base + 85 * csum.get(h, 0) // 100 for h in hosts}
+    return pr
+
+
+def _write_docs(spark, tmp_path, n):
+    df = spark.range(n).withColumnRenamed("id", "doc_id").selectExpr(
+        "doc_id", "'x' AS text", "'en' AS lang", "'s' AS source",
+        "1 AS n_chars",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+
+def _py_host_edges(n, N=23):
+    edges = set()
+    for g in range(0, n, 6):
+        src = (g * 131 + 7) % N
+        for j in (1, 2, 3):
+            edges.add((src, (src + 1 + (g * (17 + j) + j * j * 5) % (N - 1)) % N))
+    return edges
+
+
+def test_pagerank_matches_python_and_q68_at_one_iter(spark, tmp_path):
+    import __spark_entry__ as e
+    from geotiff_tiler_spark.operators import graph
+
+    n, N = 180, 23
+    _write_docs(spark, tmp_path, n)
+    sf = str(tmp_path)
+    edges = _py_host_edges(n, N)
+    hosts = {h for ed in edges for h in ed}
+
+    # 4-iteration output vs the from-scratch Python spec
+    exp4 = _py_pagerank(edges, hosts, N, 4)
+    got4 = {r.host: r.pr_nano for r in e.q69_pagerank(spark, sf).collect()}
+    assert got4 == {f"d{h}.example.com": v for h, v in exp4.items()}
+
+    # floor-composition invariant: iteration 1 == q68's closed-form pr1
+    sedges = e._host_edges(spark, sf)
+    universe = (
+        sedges.selectExpr("src AS h").union(sedges.selectExpr("dst AS h"))
+        .distinct()
+    )
+    pr1 = {
+        r.h: r.pr
+        for r in graph.pagerank_nano(sedges, universe, N, 1).collect()
+    }
+    q68 = {r.host: r.pr1_nano for r in e.q68_host_graph(spark, sf).collect()}
+    assert {f"d{h}.example.com": v for h, v in pr1.items()} == q68
+
+    # mass conservation within truncation slack
+    assert sum(got4.values()) <= 10**9
+    assert sum(got4.values()) > 10**9 - len(hosts) * 200

@@ -196,6 +196,11 @@ def main() -> None:
          "contrib join and PR run on the graph-sized table only; the two "
          "fan-out intermediates ride the localCheckpoint rule)",
          e.q68_host_graph(spark, SF)),
+        ("4-iteration integer PageRank (q69: the loop's LAST round as "
+         "planned — prior rounds are checkpointed host-sized leaves, so "
+         "lineage does not grow with iterations; one graph-sized join + "
+         "map-side agg + bounded left join per round)",
+         e.q69_pagerank(spark, SF)),
     ]
     bucketed_agg, bucketed_join = _bucketed_plans(spark, docs)
     sections += [
