@@ -1328,6 +1328,71 @@ def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q70_revisit_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-crawl churn per host (WARC `revisit`-record semantics): compare
+    each canonical URL's LATEST snapshot against its PREVIOUS one —
+    content digest equality (revisit vs changed) and |Δ n_chars| (churn
+    magnitude) — aggregated per host. The top-2 per canonical comes from
+    ONE partial+final aggregate: `slice(sort_array(collect_list(struct(
+    warc_ts, doc_id, digest, n_chars)), desc), 1, 2)` — (ts, id) is a
+    total order so the sort is deterministic, and the buffer per group
+    is bounded by snapshots-per-URL (the crawl cadence), NEVER corpus-
+    shaped; no window, no self-join, one shuffle on canonical + the tiny
+    host rollup. The oracle is the independent two-ROW_NUMBER
+    formulation (rn=1 LEFT JOIN rn=2). On this derivation every re-crawl
+    changes content, so n_changed = n_pages — the revisit branch's
+    discriminating power is pinned by the unit test's equal-text
+    fixture instead."""
+    docs = _docs(spark, sf_dir)
+    canon = U.canonical_url_sql(U.raw_url_sql("doc_id"))
+    snap = docs.select(
+        F.expr(canon).alias("canonical"),
+        F.struct(
+            F.expr(U.warc_ts_sql("doc_id")).alias("warc_ts"),
+            F.col("doc_id").alias("doc_id"),
+            F.md5(F.col("text")).alias("digest"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("s"),
+    )
+    top2 = snap.groupBy("canonical").agg(
+        F.slice(F.sort_array(F.collect_list("s"), asc=False), 1, 2).alias("t"),
+        F.count(F.lit(1)).alias("n_snapshots"),
+    )
+    per_page = top2.select(
+        F.expr(U.host_sql("canonical")).alias("host"),
+        F.col("t")[0].alias("latest"),
+        F.try_element_at(F.col("t"), F.lit(2)).alias("prev"),
+    )
+    return (
+        per_page.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(
+                F.when(F.col("prev").isNotNull(), 1).otherwise(0)
+            ).alias("n_with_history"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("prev.digest") != F.col("latest.digest")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_changed"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull(),
+                    F.abs(F.col("latest.n_chars") - F.col("prev.n_chars")),
+                ).otherwise(0)
+            ).alias("sum_abs_delta"),
+            F.max(
+                F.when(
+                    F.col("prev").isNotNull(),
+                    F.abs(F.col("latest.n_chars") - F.col("prev.n_chars")),
+                ).otherwise(0)
+            ).alias("max_abs_delta"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1420,6 +1485,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q67_latest_snapshot": q67_latest_snapshot,
         "q68_host_graph": q68_host_graph,
         "q69_pagerank": q69_pagerank,
+        "q70_revisit_churn": q70_revisit_churn,
     }
 
 
@@ -2314,6 +2380,38 @@ WITH pages AS (
 {graph.pagerank_unroll_sql(U.N_URL_HOSTS, PAGERANK_ITERS)}
 SELECT {U.host_name_sql('h')} AS host, pr AS pr_nano
 FROM pr{PAGERANK_ITERS}
+""",
+        # q70: independent two-ROW_NUMBER formulation (Spark does one
+        # collect_list top-2 aggregate)
+        "q70_revisit_churn": f"""
+WITH c AS (
+  SELECT doc_id,
+         {U.canonical_url_sql(U.raw_url_sql('doc_id'))} AS canonical,
+         {U.warc_ts_sql('doc_id')} AS warc_ts,
+         md5(text) AS digest, n_chars
+  FROM documents
+), r AS (
+  SELECT canonical, warc_ts, doc_id, digest, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY canonical
+                            ORDER BY warc_ts DESC, doc_id DESC) AS rn
+  FROM c
+), p AS (
+  SELECT {U.host_sql('a.canonical')} AS host,
+         a.digest AS d1, b.digest AS d2,
+         a.n_chars AS c1, b.n_chars AS c2
+  FROM (SELECT * FROM r WHERE rn = 1) a
+  LEFT JOIN (SELECT * FROM r WHERE rn = 2) b USING (canonical)
+)
+SELECT host, COUNT(*) AS n_pages,
+       CAST(SUM(CASE WHEN d2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_history,
+       CAST(SUM(CASE WHEN d2 IS NOT NULL AND d1 <> d2 THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_changed,
+       CAST(SUM(CASE WHEN d2 IS NOT NULL THEN abs(c1 - c2) ELSE 0 END)
+         AS BIGINT) AS sum_abs_delta,
+       CAST(MAX(CASE WHEN d2 IS NOT NULL THEN abs(c1 - c2) ELSE 0 END)
+         AS BIGINT) AS max_abs_delta
+FROM p GROUP BY host
 """,
         "q12_simhash": r"""
 SELECT doc_id,

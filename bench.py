@@ -69,6 +69,7 @@ HEADLINE = [
     "q67_latest_snapshot",
     "q68_host_graph",
     "q69_pagerank",
+    "q70_revisit_churn",
 ]
 
 

@@ -720,3 +720,54 @@ def test_pagerank_matches_python_and_q68_at_one_iter(spark, tmp_path):
     # mass conservation within truncation slack
     assert sum(got4.values()) <= 10**9
     assert sum(got4.values()) > 10**9 - len(hosts) * 200
+
+
+# ---------------------------------------------------------------------------
+# q70: re-crawl churn (latest vs previous snapshot per canonical URL)
+# ---------------------------------------------------------------------------
+
+def test_revisit_churn_detects_unchanged_and_deltas(spark, tmp_path):
+    """Groups with identical text across snapshots count as revisits
+    (n_changed excludes them); churn deltas match the pure-Python top-2."""
+    import __spark_entry__ as e
+
+    n, N = 72, 23
+    # even groups: identical text (revisits); odd groups: per-doc text
+    df = spark.range(n).withColumnRenamed("id", "doc_id").selectExpr(
+        "doc_id",
+        "CASE WHEN (doc_id - doc_id % 6) % 12 = 0 THEN 'same'"
+        " ELSE 'txt-' || CAST(doc_id AS STRING) END AS text",
+        "'en' AS lang", "'s' AS source",
+        "CAST(10 + doc_id % 7 AS BIGINT) AS n_chars",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    # pure-Python expectation
+    import hashlib
+    per_host = {}
+    for g in range(0, n, 6):
+        host = f"d{(g * 131 + 7) % N}.example.com"
+        snaps = sorted(
+            range(g, g + 6), key=lambda i: (_py_warc_ts(i), i), reverse=True
+        )
+        latest, prev = snaps[0], snaps[1]
+        text = lambda i: "same" if g % 12 == 0 else f"txt-{i}"
+        changed = hashlib.md5(text(latest).encode()).hexdigest() != hashlib.md5(
+            text(prev).encode()
+        ).hexdigest()
+        delta = abs((10 + latest % 7) - (10 + prev % 7))
+        a = per_host.setdefault(host, [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += 1
+        a[2] += 1 if changed else 0
+        a[3] += delta
+        a[4] = max(a[4], delta)
+    got = {
+        r.host: [r.n_pages, r.n_with_history, r.n_changed,
+                 r.sum_abs_delta, r.max_abs_delta]
+        for r in e.q70_revisit_churn(spark, str(tmp_path)).collect()
+    }
+    assert got == per_host
+    # the fixture really exercises both branches
+    assert any(v[2] < v[1] for v in got.values())
+    assert any(v[2] > 0 for v in got.values())

@@ -201,6 +201,11 @@ def main() -> None:
          "lineage does not grow with iterations; one graph-sized join + "
          "map-side agg + bounded left join per round)",
          e.q69_pagerank(spark, SF)),
+        ("Re-crawl churn / revisit rate (q70: top-2 snapshots per "
+         "canonical from ONE collect_list+sort_array aggregate — buffer "
+         "bounded by snapshots-per-URL, no window, no self-join; one "
+         "shuffle on canonical + the tiny host rollup)",
+         e.q70_revisit_churn(spark, SF)),
     ]
     bucketed_agg, bucketed_join = _bucketed_plans(spark, docs)
     sections += [
