@@ -26,6 +26,7 @@ from geotiff_tiler_spark.functions import jsonpath as J
 from geotiff_tiler_spark.functions import text as T
 from geotiff_tiler_spark.functions import url as U
 from geotiff_tiler_spark.operators import (
+    crawl,
     dedup,
     graph,
     knn,
@@ -1160,25 +1161,7 @@ def q66_url_host_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     host agg is partial+final with the COUNT(DISTINCT) two-phase expansion
     keeping hot hosts off single tasks. Every formula is a shared *_sql
     helper run verbatim by both engines."""
-    docs = _docs(spark, sf_dir)
-    canon = U.canonical_url_sql(U.raw_url_sql("doc_id"))
-    d = docs.select(
-        "doc_id",
-        F.expr(canon).alias("canonical"),
-        F.expr(U.host_sql(canon)).alias("host"),
-    )
-    agg = d.groupBy("host").agg(
-        F.count(F.lit(1)).alias("n_pages"),
-        F.countDistinct("canonical").alias("n_canonical"),
-        F.min("doc_id").alias("min_doc"),
-    )
-    return agg.select(
-        "host",
-        "n_pages",
-        "n_canonical",
-        F.expr(U.dup_rate_sql()).alias("dup_rate"),
-        "min_doc",
-    )
+    return crawl.url_host_stats(_docs(spark, sf_dir))
 
 
 def q67_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1195,24 +1178,7 @@ def q67_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     not shared. warc_ts is deterministically derived and non-monotone
     in doc_id (functions/url.warc_ts_sql), so the winner is never just
     max(doc_id)."""
-    docs = _docs(spark, sf_dir)
-    canon = U.canonical_url_sql(U.raw_url_sql("doc_id"))
-    d = docs.select(
-        "doc_id",
-        F.expr(canon).alias("canonical"),
-        F.expr(U.warc_ts_sql("doc_id")).alias("warc_ts"),
-    )
-    kept = d.groupBy("canonical").agg(
-        F.max(F.struct(F.col("warc_ts"), F.col("doc_id"))).alias("_w"),
-        F.count(F.lit(1)).alias("n_snapshots"),
-    )
-    return kept.select(
-        "canonical",
-        F.expr(U.host_sql("canonical")).alias("host"),
-        F.col("_w.doc_id").alias("kept_doc"),
-        F.col("_w.warc_ts").alias("kept_ts"),
-        "n_snapshots",
-    )
+    return crawl.latest_snapshot(_docs(spark, sf_dir))
 
 
 def q68_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1231,55 +1197,8 @@ def q68_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     PR) runs on the host-graph-sized table (~1e8 rows at web scale,
     vs 1e12 pages). The contrib join keys on src = the collapse's own
     partitioning, so AQE plans it without a second full shuffle."""
-    kept = q67_latest_snapshot(spark, sf_dir).select("kept_doc")
-    targets = F.array(
-        *[F.expr(U.link_target_sql("kept_doc", j))
-          for j in range(1, U.N_OUT_LINKS + 1)]
-    )
-    edges_page = kept.select(
-        F.expr(U._dom_sql("kept_doc")).alias("src"),
-        F.explode(targets).alias("dst"),
-    )
-    # host_edges fans out to out_deg AND the contrib join, out_deg to the
-    # contrib join AND the final full-outer: without materialization each
-    # branch re-runs the corpus-sized collapse (the CLAUDE.md fan-out
-    # rule) — lazy localCheckpoint pins both bounded, graph-sized frames
-    host_edges = (
-        edges_page.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("weight"))
-        .localCheckpoint(eager=False)
-    )
-    out_deg = (
-        host_edges.groupBy("src")
-        .agg(
-            F.count(F.lit(1)).alias("out_deg"),
-            F.sum("weight").alias("links_out"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    contrib = U.intdiv_sql("1000000000", f"{U.N_URL_HOSTS} * out_deg")
-    in_agg = (
-        host_edges.join(out_deg, "src")
-        .groupBy("dst")
-        .agg(
-            F.count(F.lit(1)).alias("in_deg"),
-            F.sum(F.expr(contrib)).alias("contrib_sum"),
-        )
-    )
-    base = U.intdiv_sql("15000000000", f"100 * {U.N_URL_HOSTS}")
-    joined = out_deg.withColumnRenamed("src", "h").join(
-        in_agg.withColumnRenamed("dst", "h"), "h", "full_outer"
-    )
-    return joined.select(
-        F.expr(U.host_name_sql("h")).alias("host"),
-        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
-        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
-        F.coalesce("links_out", F.lit(0)).alias("links_out"),
-        (
-            F.expr(base)
-            + F.expr(U.intdiv_sql("85 * COALESCE(contrib_sum, 0)", "100"))
-        ).alias("pr1_nano"),
-    )
+    kept = crawl.latest_snapshot(_docs(spark, sf_dir)).select("kept_doc")
+    return crawl.host_graph(kept)
 
 
 PAGERANK_ITERS = 4
@@ -1288,20 +1207,8 @@ PAGERANK_ITERS = 4
 def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISTINCT (src, dst) host edges from the q67 kept snapshots —
     the q68 derivation minus weights."""
-    kept = q67_latest_snapshot(spark, sf_dir).select("kept_doc")
-    targets = F.array(
-        *[F.expr(U.link_target_sql("kept_doc", j))
-          for j in range(1, U.N_OUT_LINKS + 1)]
-    )
-    return (
-        kept.select(
-            F.expr(U._dom_sql("kept_doc")).alias("src"),
-            F.explode(targets).alias("dst"),
-        )
-        .groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("_w"))
-        .select("src", "dst")
-    )
+    kept = crawl.latest_snapshot(_docs(spark, sf_dir)).select("kept_doc")
+    return crawl.distinct_host_edges(kept)
 
 
 def q69_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1343,54 +1250,7 @@ def q70_revisit_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     changes content, so n_changed = n_pages — the revisit branch's
     discriminating power is pinned by the unit test's equal-text
     fixture instead."""
-    docs = _docs(spark, sf_dir)
-    canon = U.canonical_url_sql(U.raw_url_sql("doc_id"))
-    snap = docs.select(
-        F.expr(canon).alias("canonical"),
-        F.struct(
-            F.expr(U.warc_ts_sql("doc_id")).alias("warc_ts"),
-            F.col("doc_id").alias("doc_id"),
-            F.md5(F.col("text")).alias("digest"),
-            F.col("n_chars").alias("n_chars"),
-        ).alias("s"),
-    )
-    top2 = snap.groupBy("canonical").agg(
-        F.slice(F.sort_array(F.collect_list("s"), asc=False), 1, 2).alias("t"),
-        F.count(F.lit(1)).alias("n_snapshots"),
-    )
-    per_page = top2.select(
-        F.expr(U.host_sql("canonical")).alias("host"),
-        F.col("t")[0].alias("latest"),
-        F.try_element_at(F.col("t"), F.lit(2)).alias("prev"),
-    )
-    return (
-        per_page.groupBy("host")
-        .agg(
-            F.count(F.lit(1)).alias("n_pages"),
-            F.sum(
-                F.when(F.col("prev").isNotNull(), 1).otherwise(0)
-            ).alias("n_with_history"),
-            F.sum(
-                F.when(
-                    F.col("prev").isNotNull()
-                    & (F.col("prev.digest") != F.col("latest.digest")),
-                    1,
-                ).otherwise(0)
-            ).alias("n_changed"),
-            F.sum(
-                F.when(
-                    F.col("prev").isNotNull(),
-                    F.abs(F.col("latest.n_chars") - F.col("prev.n_chars")),
-                ).otherwise(0)
-            ).alias("sum_abs_delta"),
-            F.max(
-                F.when(
-                    F.col("prev").isNotNull(),
-                    F.abs(F.col("latest.n_chars") - F.col("prev.n_chars")),
-                ).otherwise(0)
-            ).alias("max_abs_delta"),
-        )
-    )
+    return crawl.revisit_churn(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -203,6 +203,42 @@ def _ivfpq_best() -> dict | None:
     }
 
 
+def _urlgraph_best() -> dict | None:
+    """Best-of-exclusive-samples for the 8M-page URL/graph tier
+    (tools/bench_urlgraph_sample.py appends; per-field minimum over
+    local[32] samples — same estimator as the other stage samplers).
+    Output parity asserted on the stage's own keys (kept pages, PR
+    mass) so every pooled sample computed the identical result."""
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH", "urlgraph_samples.jsonl"
+    )
+    try:
+        with open(path) as fh:
+            samples = [json.loads(l) for l in fh if l.strip()]
+    except OSError:
+        return None
+    samples = [
+        s for s in samples if s.get("cpus") == 32 and s.get("n_pages") == 8_000_000
+    ]
+    if not samples:
+        return None
+    parity = {(s["kept_pages"], s["pr_mass_nano"], s["hosts"]) for s in samples}
+    assert len(parity) == 1, ("urlgraph output parity violated", parity)
+    best = min(samples, key=lambda s: s["sec"])
+    return {
+        "n_samples": len(samples),
+        "n_pages": samples[0]["n_pages"],
+        "kept_pages": samples[0]["kept_pages"],
+        "sec_url_best": min(s["sec_url"] for s in samples),
+        "sec_snapshot_best": min(s["sec_snapshot"] for s in samples),
+        "sec_graph_pr_best": min(s["sec_graph_pr"] for s in samples),
+        "sec_churn_best": min(s["sec_churn"] for s in samples),
+        "sec_best": best["sec"],
+        "pages_per_sec_best": max(s["pages_per_sec"] for s in samples),
+        "best_sample": {k: best.get(k) for k in ("git", "steal_pct", "ts")},
+    }
+
+
 def run_headline(spark, sf_dir: str, runs: int = 1):
     """Time the headline queries on an existing session. Returns
     (timings, rows, total_sec). Shared by the one-shot bench below and the
@@ -315,6 +351,13 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
     from geotiff_tiler_spark.plans.scale_job import run_ivfpq_stage
 
     ivfpq = run_ivfpq_stage(spark, ivf_rows) if ivf_rows > 0 else None
+    # the URL/graph curation tier (q66-q70 shapes) at the bench scale
+    from geotiff_tiler_spark.plans.scale_job import run_urlgraph_stage
+
+    urlgraph_pages = int(os.environ.get("SPARK_GRAFT_URLGRAPH_PAGES", "2000000"))
+    urlgraph = (
+        run_urlgraph_stage(spark, urlgraph_pages) if urlgraph_pages > 0 else None
+    )
     spark.stop()
     out_rows = sum(rows.values())
     return {
@@ -334,6 +377,8 @@ def run(sf_dir: str, cpus: int, runs: int = 1, scale_pages: int | None = None) -
         "pq_best_exclusive": _pq_best(),
         "ivfpq": ivfpq,
         "ivfpq_best_exclusive": _ivfpq_best(),
+        "urlgraph": urlgraph,
+        "urlgraph_best_exclusive": _urlgraph_best(),
         "tiles_join_rows_per_sec": scale["tiles_join_rows_per_sec"],
         "lsh_blocking": lsh_blocking,
         "scaling": _last_scaling(),
@@ -366,6 +411,9 @@ def slim(full: dict) -> dict:
         "ivf_sec_best": (full.get("ivf_best_exclusive") or {}).get("sec_best"),
         "pq_sec_best": (full.get("pq_best_exclusive") or {}).get("sec_best"),
         "ivfpq_sec_best": (full.get("ivfpq_best_exclusive") or {}).get("sec_best"),
+        "urlgraph_pages_per_sec_best": (
+            full.get("urlgraph_best_exclusive") or {}
+        ).get("pages_per_sec_best"),
         "headline_best_total": (full.get("headline_best_exclusive") or {}).get(
             "best_total"
         ),

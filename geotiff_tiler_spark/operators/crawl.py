@@ -1,0 +1,199 @@
+"""Web-crawl curation operators over the URL layer (functions/url.py).
+
+The Common-Crawl-style ladder BELOW content dedup, as reusable
+DataFrame operators (the q66-q70 contract queries are thin wrappers):
+
+  url_host_stats     canonicalization + per-host re-crawl statistics
+  latest_snapshot    keep the newest crawl per canonical URL
+  page_link_edges /  host-level link graph from the kept snapshots
+    host_graph
+  revisit_churn      WARC-revisit semantics: latest vs previous snapshot
+
+Scale shapes (the load-bearing claims, each plan-asserted or measured
+in plans/scale_job.run_urlgraph_stage):
+  - canonicalization is pure codegen'd string expressions — zero UDF,
+    zero shuffle before any aggregate;
+  - latest_snapshot is ONE struct-max partial+final aggregate (map-side
+    combine; SortAggregate because struct max is not hash-aggregable,
+    but still partial+final — never a window sort over a hot URL's
+    history);
+  - the page-level edge stream (N_OUT_LINKS x corpus) collapses by
+    (src, dst) in one map-side-combined agg; degrees / contrib joins /
+    PageRank run on the graph-sized table only;
+  - revisit_churn's top-2 per canonical is one partial+final
+    collect_list aggregate whose buffer is bounded by snapshots-per-URL
+    (crawl cadence), never corpus-shaped.
+
+Every scalar formula lives in functions/url.py as a shared ``*_sql``
+helper so the DuckDB oracles run the identical expressions; argmax /
+top-2 / graph aggregation STRUCTURE is deliberately NOT shared — the
+oracles use independent window / unrolled-CTE formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import url as U
+
+
+def url_host_stats(docs: DataFrame) -> DataFrame:
+    """q66: canonical-URL collapse + per-host dup statistics."""
+    canon = U.canonical_url_sql(U.raw_url_sql("doc_id"))
+    d = docs.select(
+        "doc_id",
+        F.expr(canon).alias("canonical"),
+        F.expr(U.host_sql(canon)).alias("host"),
+    )
+    agg = d.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("canonical").alias("n_canonical"),
+        F.min("doc_id").alias("min_doc"),
+    )
+    return agg.select(
+        "host",
+        "n_pages",
+        "n_canonical",
+        F.expr(U.dup_rate_sql()).alias("dup_rate"),
+        "min_doc",
+    )
+
+
+def latest_snapshot(docs: DataFrame) -> DataFrame:
+    """q67: one struct-max aggregate keeps the newest (warc_ts, doc_id)
+    crawl per canonical URL."""
+    canon = U.canonical_url_sql(U.raw_url_sql("doc_id"))
+    d = docs.select(
+        "doc_id",
+        F.expr(canon).alias("canonical"),
+        F.expr(U.warc_ts_sql("doc_id")).alias("warc_ts"),
+    )
+    kept = d.groupBy("canonical").agg(
+        F.max(F.struct(F.col("warc_ts"), F.col("doc_id"))).alias("_w"),
+        F.count(F.lit(1)).alias("n_snapshots"),
+    )
+    return kept.select(
+        "canonical",
+        F.expr(U.host_sql("canonical")).alias("host"),
+        F.col("_w.doc_id").alias("kept_doc"),
+        F.col("_w.warc_ts").alias("kept_ts"),
+        "n_snapshots",
+    )
+
+
+def page_link_edges(kept: DataFrame, id_col: str = "kept_doc") -> DataFrame:
+    """Page-level (src, dst) host link rows (with multiplicity) from a
+    frame of kept page ids."""
+    targets = F.array(
+        *[F.expr(U.link_target_sql(id_col, j))
+          for j in range(1, U.N_OUT_LINKS + 1)]
+    )
+    return kept.select(
+        F.expr(U._dom_sql(id_col)).alias("src"),
+        F.explode(targets).alias("dst"),
+    )
+
+
+def distinct_host_edges(kept: DataFrame, id_col: str = "kept_doc") -> DataFrame:
+    """DISTINCT (src, dst) host edges — the PageRank input."""
+    return (
+        page_link_edges(kept, id_col)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("_w"))
+        .select("src", "dst")
+    )
+
+
+def host_graph(kept: DataFrame, id_col: str = "kept_doc") -> DataFrame:
+    """q68: per-host out/in degree, link volume, and closed-form
+    1-iteration nano-unit PageRank."""
+    host_edges = (
+        page_link_edges(kept, id_col)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .localCheckpoint(eager=False)  # fans out to out_deg + contrib join
+    )
+    out_deg = (
+        host_edges.groupBy("src")
+        .agg(
+            F.count(F.lit(1)).alias("out_deg"),
+            F.sum("weight").alias("links_out"),
+        )
+        .localCheckpoint(eager=False)  # fans out to contrib join + final
+    )
+    contrib = U.intdiv_sql("1000000000", f"{U.N_URL_HOSTS} * out_deg")
+    in_agg = (
+        host_edges.join(out_deg, "src")
+        .groupBy("dst")
+        .agg(
+            F.count(F.lit(1)).alias("in_deg"),
+            F.sum(F.expr(contrib)).alias("contrib_sum"),
+        )
+    )
+    base = U.intdiv_sql("15000000000", f"100 * {U.N_URL_HOSTS}")
+    joined = out_deg.withColumnRenamed("src", "h").join(
+        in_agg.withColumnRenamed("dst", "h"), "h", "full_outer"
+    )
+    return joined.select(
+        F.expr(U.host_name_sql("h")).alias("host"),
+        F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+        F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+        F.coalesce("links_out", F.lit(0)).alias("links_out"),
+        (
+            F.expr(base)
+            + F.expr(U.intdiv_sql("85 * COALESCE(contrib_sum, 0)", "100"))
+        ).alias("pr1_nano"),
+    )
+
+
+def revisit_churn(docs: DataFrame) -> DataFrame:
+    """q70: latest-vs-previous snapshot comparison per canonical URL
+    (digest equality + |delta n_chars|), rolled up per host."""
+    canon = U.canonical_url_sql(U.raw_url_sql("doc_id"))
+    snap = docs.select(
+        F.expr(canon).alias("canonical"),
+        F.struct(
+            F.expr(U.warc_ts_sql("doc_id")).alias("warc_ts"),
+            F.col("doc_id").alias("doc_id"),
+            F.md5(F.col("text")).alias("digest"),
+            F.col("n_chars").alias("n_chars"),
+        ).alias("s"),
+    )
+    top2 = snap.groupBy("canonical").agg(
+        F.slice(F.sort_array(F.collect_list("s"), asc=False), 1, 2).alias("t"),
+        F.count(F.lit(1)).alias("n_snapshots"),
+    )
+    per_page = top2.select(
+        F.expr(U.host_sql("canonical")).alias("host"),
+        F.col("t")[0].alias("latest"),
+        F.try_element_at(F.col("t"), F.lit(2)).alias("prev"),
+    )
+    return (
+        per_page.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_pages"),
+            F.sum(
+                F.when(F.col("prev").isNotNull(), 1).otherwise(0)
+            ).alias("n_with_history"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull()
+                    & (F.col("prev.digest") != F.col("latest.digest")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_changed"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNotNull(),
+                    F.abs(F.col("latest.n_chars") - F.col("prev.n_chars")),
+                ).otherwise(0)
+            ).alias("sum_abs_delta"),
+            F.max(
+                F.when(
+                    F.col("prev").isNotNull(),
+                    F.abs(F.col("latest.n_chars") - F.col("prev.n_chars")),
+                ).otherwise(0)
+            ).alias("max_abs_delta"),
+        )
+    )

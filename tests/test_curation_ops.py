@@ -771,3 +771,15 @@ def test_revisit_churn_detects_unchanged_and_deltas(spark, tmp_path):
     # the fixture really exercises both branches
     assert any(v[2] < v[1] for v in got.values())
     assert any(v[2] > 0 for v in got.values())
+
+
+def test_urlgraph_stage_counts(spark):
+    """The scale-stage runner computes the same structural invariants the
+    contract queries pin: one kept page per 6-id group, the full host
+    universe, and PR mass conserved within truncation slack."""
+    from geotiff_tiler_spark.plans.scale_job import run_urlgraph_stage
+
+    r = run_urlgraph_stage(spark, 6000, warm=False)
+    assert r["kept_pages"] == 1000
+    assert r["hosts"] == 23 and r["churn_hosts"] == 23
+    assert 10**9 - 23 * 200 < r["pr_mass_nano"] <= 10**9

@@ -26,7 +26,8 @@ def main() -> None:
     """Plan entries: '32' / '8' = scale-workload sample at that parallelism;
     'h32' = headline-suite sample (tools/bench_headline_sample.py);
     'i32' = IVF-stage sample (tools/bench_ivf_sample.py);
-    'p32' = PQ-stage sample; 'v32' = IVF-PQ-stage sample."""
+    'p32' = PQ-stage sample; 'v32' = IVF-PQ-stage sample;
+    'g32' = URL/graph-tier sample (tools/bench_urlgraph_sample.py)."""
     per_level = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     max_minutes = float(sys.argv[2]) if len(sys.argv) > 2 else 90.0
     cycle = (sys.argv[3].split(",") if len(sys.argv) > 3 else ["32", "8"])
@@ -60,6 +61,8 @@ def main() -> None:
             script, cpus = "bench_pq_sample.py", item[1:]
         elif item.startswith("v"):
             script, cpus = "bench_ivfpq_sample.py", item[1:]
+        elif item.startswith("g"):
+            script, cpus = "bench_urlgraph_sample.py", item[1:]
         else:
             script, cpus = "bench_sample.py", item
         t0 = time.time()
