@@ -773,6 +773,23 @@ def test_revisit_churn_detects_unchanged_and_deltas(spark, tmp_path):
     assert any(v[2] > 0 for v in got.values())
 
 
+def test_crawl_tier_plan_shapes(spark):
+    """q66: pure codegen'd expressions — no Python UDF, no window, and
+    the COUNT(DISTINCT) runs as the two-phase (host, canonical)
+    pre-aggregate (two aggregate layers below the final). q70: the top-2
+    comes from aggregation alone — no Window, no self-Join anywhere."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    p66 = e.q66_url_host_stats(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p66 and "EvalPython" not in p66
+    assert p66.count("HashAggregate") >= 3, p66  # partial+final x two phases
+    p70 = e.q70_revisit_churn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in p70, p70
+    assert "Join" not in p70, p70
+    assert "ObjectHashAggregate" in p70 or "SortAggregate" in p70, p70
+
+
 def test_urlgraph_stage_counts(spark):
     """The scale-stage runner computes the same structural invariants the
     contract queries pin: one kept page per 6-id group, the full host
