@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from geotiff_tiler_spark.functions.url import canonical_url_sql, host_sql
 from geotiff_tiler_spark.operators import tiling
 from geotiff_tiler_spark.operators.tiling import TilingParams
 from geotiff_tiler_spark.plans.manifest import Manifest
@@ -361,4 +362,56 @@ def streaming_segment_strip(
             "kept_frac"
         ),
         F.md5(F.col("_clean")).alias("clean_md5"),
+    )
+
+
+def streaming_url_host_stats(
+    pages: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    watermark: str = "30 minutes",
+    window_size: str = "1 hour",
+) -> DataFrame:
+    """Continuous-crawl URL curation (the q66 batch op as a stream): per
+    event-time window and host, raw page count and DISTINCT canonical
+    count, using the EXACT batch canonicalization expressions
+    (functions/url.canonical_url_sql — shared strings, so stream and
+    at-rest results cannot drift).
+
+    Streaming COUNT(DISTINCT) is unsupported, so the two-phase expansion
+    the batch plan gets from Catalyst is spelled explicitly as CHAINED
+    windowed aggregations (Spark >= 3.5 multi-stateful append mode, the
+    streaming_neardup_keep pattern):
+
+      1. (window, host, canonical) counts — state is one row per
+         canonical per window, bounded by the watermark horizon;
+      2. re-aggregate the closed window's rows to (window, host):
+         n_canonical = COUNT(*), n_pages = SUM.
+
+    A hot host never concentrates raw rows in one state partition —
+    exactly the batch plan's two-phase property, in streaming form.
+    Batch parity is asserted in tests: over the same at-rest rows the
+    emitted (host, n_pages, n_canonical) equal crawl.url_host_stats."""
+    canon = canonical_url_sql(url_col)
+    s = pages.select(
+        F.expr(canon).alias("canonical"),
+        F.expr(host_sql(canon)).alias("host"),
+        F.col(ts_col),
+    ).withWatermark(ts_col, watermark)
+    l1 = s.groupBy(
+        F.window(ts_col, window_size).alias("win"), "host", "canonical"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        l1.groupBy("win", "host")
+        .agg(
+            F.count(F.lit(1)).alias("n_canonical"),
+            F.sum("_n").alias("n_pages"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "host",
+            "n_pages",
+            "n_canonical",
+        )
     )

@@ -492,3 +492,53 @@ def test_streaming_segment_strip_matches_batch(spark, tmp_path_factory):
     assert any(v[1] == 0 and v[3] == empty_md5 for v in got.values())
     # ...and at least one doc is PARTIALLY stripped (reconstruction path)
     assert any(0 < v[1] < v[0] for v in got.values())
+
+
+def test_streaming_url_host_stats_matches_batch(spark, tmp_path_factory):
+    """Streaming per-host URL stats (chained windowed aggs replacing the
+    unsupported streaming COUNT(DISTINCT)) equal the batch
+    crawl.url_host_stats over the same at-rest rows. Urls carry the six
+    raw forms via the shared derivation; a far-future flush row closes
+    every real window and is excluded by construction."""
+    from geotiff_tiler_spark.functions import url as U
+    from geotiff_tiler_spark.operators import crawl
+
+    base = str(tmp_path_factory.mktemp("stream_urlstats"))
+    src = f"{base}/src"
+    n = 120
+    rows = spark.range(n + 1).selectExpr(
+        "id AS doc_id",
+        f"CASE WHEN id = {n} THEN 'https://flush.example.com/x'"
+        f" ELSE {U.raw_url_sql('id')} END AS url",
+        f"CASE WHEN id = {n} THEN timestamp_seconds({pages.BASE_EPOCH} + 30*86400)"
+        f" ELSE timestamp_seconds({pages.BASE_EPOCH} + id % 1800) END AS warc_ts",
+        "CAST(NULL AS BINARY) AS html",
+        "'t' AS text",
+        "'en' AS lang",
+    )
+    rows.repartition(1).sortWithinPartitions("doc_id").write.parquet(src)
+
+    stream = ingest.read_pages_stream(spark, src)
+    out = ingest.streaming_url_host_stats(
+        stream, watermark="10 minutes", window_size="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("urlstats")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", f"{base}/ckpt")
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        r.host: (r.n_pages, r.n_canonical)
+        for r in spark.sql("SELECT * FROM urlstats").collect()
+    }
+    docs = spark.range(n).withColumnRenamed("id", "doc_id")
+    exp = {
+        r.host: (r.n_pages, r.n_canonical)
+        for r in crawl.url_host_stats(docs).collect()
+    }
+    assert got == exp
+    assert sum(v[0] for v in got.values()) == n
