@@ -67,6 +67,47 @@ def _ann_sections() -> list[str]:
     return out
 
 
+def _urlgraph_section() -> list[str]:
+    """URL/graph tier stage evidence (q66-q70 at scale): canonicalize +
+    host stats, latest-snapshot collapse, host link graph + integer-exact
+    PageRank, re-crawl churn — best exclusive local[32] sample at 8M pages,
+    with output parity asserted across every pooled sample."""
+    path = os.path.join(REPO, "BENCH", "urlgraph_samples.jsonl")
+    try:
+        with open(path) as fh:
+            recs = [json.loads(l) for l in fh if l.strip()]
+    except OSError:
+        return []
+    recs = [r for r in recs if r.get("cpus", 32) == 32 and r.get("n_pages") == 8_000_000]
+    if not recs:
+        return []
+    for k in ("hosts", "kept_pages", "pr_mass_nano", "churn_hosts"):
+        vals = {r[k] for r in recs}
+        assert len(vals) == 1, ("urlgraph output parity violated", k, vals)
+    best = min(recs, key=lambda r: r["sec"])
+    rate = round(best["n_pages"] / best["sec"], 1)
+    return [
+        "",
+        "## URL/graph tier stage (8M pages: canonicalize+host stats, "
+        "latest-snapshot collapse, host graph + exact PageRank, re-crawl churn)",
+        "",
+        f"Best of {len(recs)} exclusive local[32] samples "
+        "(BENCH/urlgraph_samples.jsonl); per-phase minima; output parity "
+        f"(hosts={best['hosts']}, kept_pages={best['kept_pages']}, "
+        f"pr_mass_nano={best['pr_mass_nano']}, churn_hosts={best['churn_hosts']}) "
+        "asserted across every pooled sample:",
+        "",
+        "| total sec (best run) | url sec | snapshot sec | graph+pr sec "
+        "| churn sec | pages/sec | best run commit | steal% |",
+        "|---|---|---|---|---|---|---|---|",
+        f"| {best['sec']} | {min(r['sec_url'] for r in recs)} "
+        f"| {min(r['sec_snapshot'] for r in recs)} "
+        f"| {min(r['sec_graph_pr'] for r in recs)} "
+        f"| {min(r['sec_churn'] for r in recs)} | {rate} "
+        f"| {best.get('git', 'n/a')} | {best.get('steal_pct', 'n/a')} |",
+    ]
+
+
 def main() -> None:
     with open(os.path.join(REPO, "BENCH", "samples.jsonl")) as fh:
         samples = [json.loads(l) for l in fh if l.strip()]
@@ -151,6 +192,7 @@ def main() -> None:
         "UNTIMED generation phase.",
     ]
     lines += _ann_sections()
+    lines += _urlgraph_section()
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
         fh.write("\n".join(lines) + "\n")
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as fh:
