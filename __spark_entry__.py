@@ -1253,6 +1253,40 @@ def q70_revisit_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl.revisit_churn(_docs(spark, sf_dir))
 
 
+# q71's per-host page budget: a spec constant interpolated into BOTH
+# engines (cross-engine constant rule). Small enough that sf0.01's ~4
+# candidates per host actually drop rows — the cap discriminates.
+HOST_PAGE_CAP_K = 2
+
+
+def q71_host_page_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host page cap, newest first (domain balancing — the C4/
+    RefinedWeb curation step that stops giant hosts from dominating the
+    training mix): from the q67 kept snapshots, keep at most K pages per
+    host by (kept_ts, kept_doc) DESC and report per-host candidate/kept
+    counts + the kept-set checksum. The selection is skew.bounded_topk
+    (partial top-K per (host, hash-bucket), final over <= buckets*K
+    survivors), so a 1e9-page host at 100 TB never sorts its page set
+    on one task — the q42 bounded-window discipline applied to the URL
+    layer. The oracle is the independent single-window ROW_NUMBER
+    formulation over the independently-derived kept set."""
+    kept = crawl.latest_snapshot(_docs(spark, sf_dir))
+    return crawl.host_page_cap(kept, HOST_PAGE_CAP_K)
+
+
+def q72_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link rate per host (mutual-link spam-ring signal, the
+    feature rung of the webgraph tier): distinct out-neighbors and how
+    many link back. The corpus collapses to the DISTINCT host-edge
+    table once; reciprocity is ONE graph-sized self-join of that
+    materialized frame against its own reversal — distinct edge rows
+    mean the equi-join emits each mutual pair exactly once, no output
+    dedup (the q23 lesson). The oracle is the independent correlated-
+    EXISTS formulation over an independently-derived edge table."""
+    kept = crawl.latest_snapshot(_docs(spark, sf_dir)).select("kept_doc")
+    return crawl.host_reciprocity(kept)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1346,6 +1380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q68_host_graph": q68_host_graph,
         "q69_pagerank": q69_pagerank,
         "q70_revisit_churn": q70_revisit_churn,
+        "q71_host_page_cap": q71_host_page_cap,
+        "q72_host_reciprocity": q72_host_reciprocity,
     }
 
 
@@ -2272,6 +2308,68 @@ SELECT host, COUNT(*) AS n_pages,
        CAST(MAX(CASE WHEN d2 IS NOT NULL THEN abs(c1 - c2) ELSE 0 END)
          AS BIGINT) AS max_abs_delta
 FROM p GROUP BY host
+""",
+        # q71: independent single-window ROW_NUMBER formulation (Spark
+        # runs the two-stage bounded top-k); kept set re-derived via the
+        # q67 oracle's window, not the struct-max
+        "q71_host_page_cap": f"""
+WITH c AS (
+  SELECT doc_id,
+         {U.canonical_url_sql(U.raw_url_sql('doc_id'))} AS canonical,
+         {U.warc_ts_sql('doc_id')} AS warc_ts
+  FROM documents
+), r AS (
+  SELECT canonical, doc_id, warc_ts,
+         ROW_NUMBER() OVER (PARTITION BY canonical
+                            ORDER BY warc_ts DESC, doc_id DESC) AS rn
+  FROM c
+), kept AS (
+  SELECT {U.host_sql('canonical')} AS host,
+         doc_id AS kept_doc, warc_ts AS kept_ts
+  FROM r WHERE rn = 1
+), hr AS (
+  SELECT host, kept_doc, kept_ts,
+         ROW_NUMBER() OVER (PARTITION BY host
+                            ORDER BY kept_ts DESC, kept_doc DESC) AS hrn
+  FROM kept
+)
+SELECT host, COUNT(*) AS n_candidates,
+       CAST(SUM(CASE WHEN hrn <= {HOST_PAGE_CAP_K} THEN 1 ELSE 0 END)
+         AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN hrn <= {HOST_PAGE_CAP_K} THEN kept_doc END)
+         AS BIGINT) AS kept_doc_sum,
+       MAX(CASE WHEN hrn <= {HOST_PAGE_CAP_K} THEN kept_ts END)
+         AS newest_ts
+FROM hr GROUP BY host
+""",
+        # q72: independent correlated-EXISTS formulation (Spark runs the
+        # reversal self-join); edges re-derived from the DISTINCT group
+        # representative as in the q68/q69 oracles
+        "q72_host_reciprocity": f"""
+WITH pages AS (
+  SELECT DISTINCT (doc_id - doc_id % 6) AS g FROM documents
+), e AS (
+  SELECT {U._dom_sql('g')} AS src, {U.link_target_sql('g', 1)} AS dst FROM pages
+  UNION ALL
+  SELECT {U._dom_sql('g')} AS src, {U.link_target_sql('g', 2)} AS dst FROM pages
+  UNION ALL
+  SELECT {U._dom_sql('g')} AS src, {U.link_target_sql('g', 3)} AS dst FROM pages
+), he AS (
+  SELECT DISTINCT src, dst FROM e
+), f AS (
+  SELECT src, dst,
+         CASE WHEN EXISTS (SELECT 1 FROM he x
+                           WHERE x.src = he.dst AND x.dst = he.src)
+              THEN 1 ELSE 0 END AS rcp
+  FROM he
+), agg AS (
+  SELECT src, COUNT(*) AS out_deg,
+         CAST(SUM(rcp) AS BIGINT) AS n_recip
+  FROM f GROUP BY src
+)
+SELECT {U.host_name_sql('src')} AS host, out_deg, n_recip,
+       {U.round_ratio_sql('COALESCE(n_recip, 0)', 'out_deg')} AS recip_rate
+FROM agg
 """,
         "q12_simhash": r"""
 SELECT doc_id,

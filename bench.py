@@ -70,6 +70,8 @@ HEADLINE = [
     "q68_host_graph",
     "q69_pagerank",
     "q70_revisit_churn",
+    "q71_host_page_cap",
+    "q72_host_reciprocity",
 ]
 
 

@@ -126,6 +126,15 @@ def host_name_sql(dom_sql: str) -> str:
     return f"('d' || CAST({dom_sql} AS STRING) || '.example.com')"
 
 
+def round_ratio_sql(num_sql: str, den_sql: str) -> str:
+    """Exact small-int ratio, rounded once at the end — both engines
+    compute the identical double (the dup_rate_sql device, generalized).
+    Caller guarantees den > 0."""
+    return (
+        f"round(CAST({num_sql} AS DOUBLE) / CAST({den_sql} AS DOUBLE), 9)"
+    )
+
+
 def dup_rate_sql(n_col: str = "n_pages", canon_col: str = "n_canonical") -> str:
     """Exact small-int division, rounded once at the end (both engines
     compute the identical double)."""

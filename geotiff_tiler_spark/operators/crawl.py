@@ -8,6 +8,8 @@ DataFrame operators (the q66-q70 contract queries are thin wrappers):
   page_link_edges /  host-level link graph from the kept snapshots
     host_graph
   revisit_churn      WARC-revisit semantics: latest vs previous snapshot
+  host_page_cap      per-host page cap, newest-first (domain balancing)
+  host_reciprocity   mutual-link rate per host (spam-ring signal)
 
 Scale shapes (the load-bearing claims, each plan-asserted or measured
 in plans/scale_job.run_urlgraph_stage):
@@ -144,6 +146,81 @@ def host_graph(kept: DataFrame, id_col: str = "kept_doc") -> DataFrame:
             F.expr(base)
             + F.expr(U.intdiv_sql("85 * COALESCE(contrib_sum, 0)", "100"))
         ).alias("pr1_nano"),
+    )
+
+
+def host_page_cap(kept: DataFrame, k: int, n_buckets: int = 64) -> DataFrame:
+    """q71: per-host page cap (domain balancing — the C4/RefinedWeb-style
+    curation step that stops a handful of giant hosts from dominating the
+    training mix): keep at most `k` pages per host, newest first
+    ((kept_ts, kept_doc) DESC — a total order), and report per-host
+    candidate/kept counts plus the kept-set checksum.
+
+    Scale shape: the selection is skew.bounded_topk — partial top-k per
+    (host, hash-bucket of kept_doc) then final top-k over <= n_buckets*k
+    survivors per host — so a hot host (the reference's hot-cell skew
+    case at the URL layer: a 1e9-page domain at 100 TB) NEVER sorts its
+    whole page set on one task; every window partition is bounded.
+    `kept` (the q67 latest-snapshot frame) fans out to the candidate
+    count AND the cap, so it rides the localCheckpoint fan-out rule.
+    Output is host-sized."""
+    from . import skew
+
+    kept = kept.select("host", "kept_doc", "kept_ts").localCheckpoint(
+        eager=False
+    )
+    cand = kept.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_candidates")
+    )
+    capped = skew.bounded_topk(
+        kept,
+        part_cols=["host"],
+        order_cols=[F.desc("kept_ts"), F.desc("kept_doc")],
+        k=k,
+        bucket_from="kept_doc",
+        n_buckets=n_buckets,
+    )
+    kept_agg = capped.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("kept_doc").alias("kept_doc_sum"),
+        F.max("kept_ts").alias("newest_ts"),
+    )
+    return cand.join(kept_agg, "host").select(
+        "host", "n_candidates", "n_kept", "kept_doc_sum", "newest_ts"
+    )
+
+
+def host_reciprocity(kept: DataFrame, id_col: str = "kept_doc") -> DataFrame:
+    """q72: reciprocal-link features per host (link-spam / ring
+    detection rung of the webgraph tier): for each host, its distinct
+    out-neighbor count and how many of those neighbors link BACK —
+    mutual-link rate is a classic spam-farm signal.
+
+    Scale shape: the corpus collapses to the DISTINCT host-edge table
+    first (one map-side-combined agg absorbs the 3x-corpus link
+    stream); reciprocity is then ONE graph-sized self-join of that
+    table against its own reversal on (src, dst) — both sides are the
+    same materialized frame (localCheckpoint fan-out rule: consumed by
+    the reversal, the join probe, and the degree agg), so the corpus is
+    touched exactly once and everything else is graph-sized. Edge rows
+    are distinct, so the equi-join emits each mutual pair once — no
+    output dedup (the q23 no-op-distinct lesson)."""
+    e = distinct_host_edges(kept, id_col).localCheckpoint(eager=False)
+    rev = e.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    )
+    recip = e.join(rev, ["src", "dst"]).groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_recip")
+    )
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    joined = out_deg.join(recip, "src", "left")
+    return joined.select(
+        F.expr(U.host_name_sql("src")).alias("host"),
+        "out_deg",
+        F.coalesce("n_recip", F.lit(0)).alias("n_recip"),
+        F.expr(
+            U.round_ratio_sql("COALESCE(n_recip, 0)", "out_deg")
+        ).alias("recip_rate"),
     )
 
 

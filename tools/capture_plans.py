@@ -206,6 +206,18 @@ def main() -> None:
          "bounded by snapshots-per-URL, no window, no self-join; one "
          "shuffle on canonical + the tiny host rollup)",
          e.q70_revisit_churn(spark, SF)),
+        ("Per-host page cap (q71: skew.bounded_topk — the only full "
+         "Window sort partitions by (host, hash-bucket); the final "
+         "ranking sees <= buckets*K survivors per host and Spark 4 "
+         "inserts WindowGroupLimit rank pushdown besides — no host ever "
+         "sorts its whole page set on one task)",
+         e.q71_host_page_cap(spark, SF)),
+        ("Host reciprocity (q72: corpus collapses ONCE to the distinct "
+         "host-edge table (localCheckpointed fan-out), then one "
+         "graph-sized self-join against its own reversal — distinct "
+         "edges make the equi-join emit each mutual pair once, no "
+         "output dedup)",
+         e.q72_host_reciprocity(spark, SF)),
     ]
     bucketed_agg, bucketed_join = _bucketed_plans(spark, docs)
     sections += [
