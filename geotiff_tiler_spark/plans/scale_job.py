@@ -402,6 +402,11 @@ def run_urlgraph_stage(
       graph    host-edge collapse + 4-iteration integer PageRank (q69)
       churn    top-2 collect_list revisit/churn rollup (q70)
 
+    Two more phases (q71 page cap, q72 reciprocity) are timed
+    SEPARATELY and excluded from `sec`/`pages_per_sec`, so samples
+    recorded before they existed stay pool-comparable with new ones
+    (same rule that keeps the N-vs-4N pool honest).
+
     DELIBERATELY SEPARATE from run_scale_workload: the N-vs-4N scaling
     gate's sample pool asserts output parity across pooled commits, so
     its timed path stays frozen; this stage gets its own sampler
@@ -434,6 +439,14 @@ def run_urlgraph_stage(
     n_churn = crawl.revisit_churn(docs).count()
     t_churn = time.time()
     total = t_churn - t0
+    # post-total phases (see docstring): q71 cap + q72 reciprocity
+    cap = crawl.host_page_cap(kept, 2).agg(F.sum("n_kept")).collect()[0][0]
+    t_cap = time.time()
+    recip = (
+        crawl.host_reciprocity(crawl.latest_snapshot(docs).select("kept_doc"))
+        .agg(F.sum("n_recip")).collect()[0][0]
+    )
+    t_recip = time.time()
     return {
         "n_pages": n_pages,
         "hosts": n_hosts,
@@ -444,6 +457,10 @@ def run_urlgraph_stage(
         "sec_snapshot": round(t_snap - t_url, 2),
         "sec_graph_pr": round(t_graph - t_snap, 2),
         "sec_churn": round(t_churn - t_graph, 2),
+        "sec_cap": round(t_cap - t_churn, 2),
+        "sec_recip": round(t_recip - t_cap, 2),
+        "cap_kept": cap,
+        "recip_total": recip,
         "sec": round(total, 2),
         # every phase is one full corpus pass (graph's collapse included)
         "pages_per_sec": round(4 * n_pages / total, 1) if total > 0 else None,

@@ -800,6 +800,10 @@ def test_urlgraph_stage_counts(spark):
     assert r["kept_pages"] == 1000
     assert r["hosts"] == 23 and r["churn_hosts"] == 23
     assert 10**9 - 23 * 200 < r["pr_mass_nano"] <= 10**9
+    # post-total q71/q72 phases: every host holds >= K candidates so the
+    # cap keeps exactly 23*K pages; mutual edges come in pairs
+    assert r["cap_kept"] == 23 * 2
+    assert r["recip_total"] % 2 == 0 and r["recip_total"] > 0
 
 
 # ---------------------------------------------------------------------------

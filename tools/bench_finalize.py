@@ -86,6 +86,24 @@ def _urlgraph_section() -> list[str]:
         assert len(vals) == 1, ("urlgraph output parity violated", k, vals)
     best = min(recs, key=lambda r: r["sec"])
     rate = round(best["n_pages"] / best["sec"], 1)
+    # q71/q72 phases are timed separately and excluded from `sec`
+    # (scale_job docstring), so older samples stay pool-comparable;
+    # report them from the subset that has them
+    ext = [r for r in recs if "sec_cap" in r]
+    ext_lines: list[str] = []
+    if ext:
+        for k in ("cap_kept", "recip_total"):
+            vals = {r[k] for r in ext}
+            assert len(vals) == 1, ("urlgraph ext parity violated", k, vals)
+        ext_lines = [
+            "",
+            f"Post-total phases (q71 per-host page cap, q72 reciprocity; "
+            f"{len(ext)} samples, excluded from the total above): "
+            f"cap {min(r['sec_cap'] for r in ext)} s / reciprocity "
+            f"{min(r['sec_recip'] for r in ext)} s (min); output parity "
+            f"cap_kept={ext[0]['cap_kept']}, "
+            f"recip_total={ext[0]['recip_total']}.",
+        ]
     return [
         "",
         "## URL/graph tier stage (8M pages: canonicalize+host stats, "
@@ -105,7 +123,7 @@ def _urlgraph_section() -> list[str]:
         f"| {min(r['sec_graph_pr'] for r in recs)} "
         f"| {min(r['sec_churn'] for r in recs)} | {rate} "
         f"| {best.get('git', 'n/a')} | {best.get('steal_pct', 'n/a')} |",
-    ]
+    ] + ext_lines
 
 
 def main() -> None:
