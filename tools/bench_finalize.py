@@ -116,7 +116,9 @@ def _urlgraph_section() -> list[str]:
         "asserted across every pooled sample:",
         "",
         "| total sec (best run) | url sec | snapshot sec | graph+pr sec "
-        "| churn sec | pages/sec | best run commit | steal% |",
+        "| churn sec | corpus pages/sec (conservative: each of the 4 "
+        "phases re-reads the corpus, so per-pass throughput is 4x this) "
+        "| best run commit | steal% |",
         "|---|---|---|---|---|---|---|---|",
         f"| {best['sec']} | {min(r['sec_url'] for r in recs)} "
         f"| {min(r['sec_snapshot'] for r in recs)} "
