@@ -1287,6 +1287,20 @@ def q72_host_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crawl.host_reciprocity(kept)
 
 
+def q73_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed triangle count + local clustering coefficient per host
+    (link-farm / tightly-knit-community signal). Spark runs the degree-
+    ordered node-iterator++: edges oriented low->high (deg, id), wedges
+    enumerated at their minimum-order vertex (out-degree bounded
+    O(sqrt(m)) under that orientation — a hot host never fans out its
+    raw degree squared), one left-semi equi-join closes them. The
+    oracle counts the SAME orientation-invariant triangle set from
+    plain id-ordering (a < b < c three-way join) — an independent
+    formulation; only the clustering_sql string is shared."""
+    kept = crawl.latest_snapshot(_docs(spark, sf_dir)).select("kept_doc")
+    return crawl.host_triangles(kept)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -1382,6 +1396,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q70_revisit_churn": q70_revisit_churn,
         "q71_host_page_cap": q71_host_page_cap,
         "q72_host_reciprocity": q72_host_reciprocity,
+        "q73_host_triangles": q73_host_triangles,
     }
 
 
@@ -2370,6 +2385,41 @@ WITH pages AS (
 SELECT {U.host_name_sql('src')} AS host, out_deg, n_recip,
        {U.round_ratio_sql('COALESCE(n_recip, 0)', 'out_deg')} AS recip_rate
 FROM agg
+""",
+        # q73: independent id-ordered three-way join (Spark runs the
+        # degree-ordered node-iterator++ — same orientation-invariant
+        # triangle set); only the clustering_sql string is shared
+        "q73_host_triangles": f"""
+WITH pages AS (
+  SELECT DISTINCT (doc_id - doc_id % 6) AS g FROM documents
+), e AS (
+  SELECT {U._dom_sql('g')} AS src, {U.link_target_sql('g', 1)} AS dst FROM pages
+  UNION ALL
+  SELECT {U._dom_sql('g')} AS src, {U.link_target_sql('g', 2)} AS dst FROM pages
+  UNION ALL
+  SELECT {U._dom_sql('g')} AS src, {U.link_target_sql('g', 3)} AS dst FROM pages
+), und AS (
+  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+  FROM e WHERE src <> dst
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e2.a = e1.b
+  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+), tv AS (
+  SELECT x AS v FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+), tc AS (
+  SELECT v, COUNT(*) AS tri_cnt FROM tv GROUP BY v
+), dg AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v
+)
+SELECT {U.host_name_sql('v')} AS host, deg,
+       COALESCE(tri_cnt, 0) AS tri_cnt,
+       {crawl.clustering_sql('COALESCE(tri_cnt, 0)', 'deg')} AS clustering
+FROM dg LEFT JOIN tc USING (v)
 """,
         "q12_simhash": r"""
 SELECT doc_id,

@@ -72,6 +72,7 @@ HEADLINE = [
     "q70_revisit_churn",
     "q71_host_page_cap",
     "q72_host_reciprocity",
+    "q73_host_triangles",
 ]
 
 

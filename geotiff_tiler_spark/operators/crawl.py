@@ -10,6 +10,7 @@ DataFrame operators (the q66-q70 contract queries are thin wrappers):
   revisit_churn      WARC-revisit semantics: latest vs previous snapshot
   host_page_cap      per-host page cap, newest-first (domain balancing)
   host_reciprocity   mutual-link rate per host (spam-ring signal)
+  host_triangles     triangle count + clustering coefficient per host
 
 Scale shapes (the load-bearing claims, each plan-asserted or measured
 in plans/scale_job.run_urlgraph_stage):
@@ -221,6 +222,112 @@ def host_reciprocity(kept: DataFrame, id_col: str = "kept_doc") -> DataFrame:
         F.expr(
             U.round_ratio_sql("COALESCE(n_recip, 0)", "out_deg")
         ).alias("recip_rate"),
+    )
+
+
+def clustering_sql(tri_col: str = "tri_cnt", deg_col: str = "deg") -> str:
+    """Local clustering coefficient 2T / (d*(d-1)) — the SAME expression
+    string runs as Spark F.expr and in the DuckDB oracle (cross-engine
+    formula rule); exact integer inputs, one rounded division."""
+    return (
+        f"CASE WHEN {deg_col} >= 2 THEN "
+        + U.round_ratio_sql(f"2 * {tri_col}", f"{deg_col} * ({deg_col} - 1)")
+        + " ELSE 0.0 END"
+    )
+
+
+def host_triangles(kept: DataFrame, id_col: str = "kept_doc") -> DataFrame:
+    """q73: triangle count + local clustering coefficient per host over
+    the UNDIRECTED host graph — the link-farm / tightly-knit-community
+    signal (a spam ring shows near-clique clustering).
+
+    Scale shape — the textbook distributed triangle count, degree-
+    ordered: every undirected edge is oriented from its lower
+    (degree, id) endpoint to the higher one, wedges are enumerated by
+    joining the oriented edge list with itself on the SOURCE vertex
+    (so each wedge materializes at its minimum-order vertex, whose
+    oriented out-degree is O(sqrt(m)) on any graph — the node-
+    iterator++ bound; a hot host's wedge fan-out is bounded by
+    orientation, not by its raw degree), and closed wedges are found
+    with ONE left-semi equi-join back against the oriented edges.
+    Each triangle is counted exactly once, then exploded to its three
+    vertices for the per-host rollup. All joins are graph-sized; the
+    corpus is touched once by the edge collapse. The undirected edge
+    table and the oriented table each fan out to >1 consumer, so both
+    ride the localCheckpoint rule.
+
+    The ORDERING is an implementation device only — the triangle SET
+    is orientation-invariant — so the DuckDB oracle counts the same
+    triangles from plain id-ordering (a < b < c three-way join), an
+    independent formulation; only the clustering_sql string is
+    shared."""
+    e = distinct_host_edges(kept, id_col)
+    und = (
+        e.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)  # fans out: degrees + orientation
+    )
+    vdeg = (
+        und.select(F.explode(F.array("a", "b")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)  # fans out: 2 orient joins + final
+    )
+    # orient low (deg, id) -> high (deg, id); total order, deterministic
+    o = (
+        und.join(vdeg.select(F.col("v").alias("a"), F.col("deg").alias("da")), "a")
+        .join(vdeg.select(F.col("v").alias("b"), F.col("deg").alias("db")), "b")
+        .select(
+            F.when(
+                F.struct("da", "a") < F.struct("db", "b"),
+                F.struct(
+                    F.col("a").alias("lo"), F.col("b").alias("hi"),
+                    F.col("da").alias("dlo"), F.col("db").alias("dhi"),
+                ),
+            )
+            .otherwise(
+                F.struct(
+                    F.col("b").alias("lo"), F.col("a").alias("hi"),
+                    F.col("db").alias("dlo"), F.col("da").alias("dhi"),
+                )
+            )
+            .alias("s")
+        )
+        .select("s.lo", "s.hi", "s.dhi")
+        .localCheckpoint(eager=False)  # fans out: wedge join x2 + semi
+    )
+    wedges = (
+        o.select(F.col("lo").alias("x"), F.col("hi").alias("y"), F.col("dhi").alias("dy"))
+        .join(
+            o.select(F.col("lo").alias("x"), F.col("hi").alias("z"), F.col("dhi").alias("dz")),
+            "x",
+        )
+        .filter(F.struct("dy", "y") < F.struct("dz", "z"))
+    )
+    # closing edge y->z exists in oriented form iff (y, z) adjacent,
+    # because (deg,id)-order of y precedes z within the wedge
+    tri = wedges.join(
+        o.select(F.col("lo").alias("y"), F.col("hi").alias("z")),
+        ["y", "z"],
+        "left_semi",
+    )
+    tcnt = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("tri_cnt"))
+    )
+    out = vdeg.join(tcnt, "v", "left").select(
+        "v", "deg", F.coalesce("tri_cnt", F.lit(0)).alias("tri_cnt")
+    )
+    return out.select(
+        F.expr(U.host_name_sql("v")).alias("host"),
+        "deg",
+        "tri_cnt",
+        F.expr(clustering_sql()).alias("clustering"),
     )
 
 

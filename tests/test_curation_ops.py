@@ -890,3 +890,57 @@ def test_host_reciprocity_python_parity(spark, tmp_path):
     # fixture sanity: reciprocity discriminates (neither all-0 nor all-1)
     rates = {v[2] for v in got.values()}
     assert len(rates) > 1
+
+
+# ---------------------------------------------------------------------------
+# q73: triangle count + clustering coefficient (degree-ordered enumeration)
+# ---------------------------------------------------------------------------
+
+def test_host_triangles_python_parity(spark, tmp_path):
+    """Degree-ordered distributed enumeration equals a from-scratch
+    pure-Python undirected triangle count over the same derivation."""
+    import __spark_entry__ as e
+
+    n = 180
+    _write_docs(spark, tmp_path, n)
+    und = set()
+    for s, d in _py_host_edges(n):
+        if s != d:
+            und.add((min(s, d), max(s, d)))
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tri_cnt = {v: 0 for v in adj}
+    for a, b in und:
+        for c in adj[a] & adj[b]:  # each triangle found at all 3 edges
+            tri_cnt[a] += 1        # -> per-vertex count x2; halve below
+            tri_cnt[b] += 1
+    expected = {}
+    for v, nb in adj.items():
+        t = tri_cnt[v] // 2
+        d = len(nb)
+        cc = round(2 * t / (d * (d - 1)), 9) if d >= 2 else 0.0
+        expected[f"d{v}.example.com"] = (d, t, cc)
+    got = {
+        r.host: (r.deg, r.tri_cnt, r.clustering)
+        for r in e.q73_host_triangles(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    # fixture sanity: clustering discriminates and the graph isn't a clique
+    ccs = {v[2] for v in got.values()}
+    assert len(ccs) > 1 and any(c < 1.0 for c in ccs)
+
+
+def test_host_triangles_plan_no_cartesian(spark):
+    """The wedge enumeration must stay an equi-join on the minimum-order
+    vertex with the closing check a left-semi equi-join — never a
+    cartesian/nested-loop product of the edge table with itself."""
+    import __spark_entry__ as e
+
+    plan = (
+        e.q73_host_triangles(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    assert "LeftSemi" in plan, plan

@@ -218,6 +218,12 @@ def main() -> None:
          "edges make the equi-join emit each mutual pair once, no "
          "output dedup)",
          e.q72_host_reciprocity(spark, SF)),
+        ("Host triangle count + clustering (q73: degree-ordered "
+         "node-iterator++ — wedges enumerate at their minimum-(deg,id) "
+         "vertex via one equi self-join of the oriented edges, closed by "
+         "one left-semi equi-join; no cartesian, hot-host wedge fan-out "
+         "bounded by orientation not raw degree)",
+         e.q73_host_triangles(spark, SF)),
     ]
     bucketed_agg, bucketed_join = _bucketed_plans(spark, docs)
     sections += [
