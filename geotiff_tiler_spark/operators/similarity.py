@@ -134,18 +134,18 @@ def _with_cosine_prenormed(
     return df.withColumn("cosine", F.round(cos, 6))
 
 
-def cosine_topk(
+def cosine_topk_allpairs(
     emb: DataFrame,
     k: int = 5,
     query_mod: int = 25,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Brute-force cosine top-k: queries = rows with id % query_mod == 0.
-
-    Output: (query_id, rank, neighbor_id, cosine); self-matches excluded;
-    ties broken by neighbor_id ascending (deterministic).
-    """
+    """The pure-SQL all-pairs form of `cosine_topk` (broadcast nested
+    loop + fold dot + window top-k). Retained as the bit-parity reference
+    for the Arrow scan below: same floats, same output, ~50x slower at
+    sf1 because the BroadcastNestedLoopJoin projection evaluates the
+    64-term fold INTERPRETED per pair (see `_dot_fold`)."""
     from pyspark.sql.window import Window
 
     q = emb.filter(F.col(id_col) % query_mod == 0).select(
@@ -160,6 +160,175 @@ def cosine_topk(
     )
     joined = F.broadcast(q).crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id"))
     scored = _with_cosine_prenormed(joined, "q_vec", "c_vec", "q_norm", "c_norm")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+# |spark.round(x, 6) - np.round(x, 6)| <= ~1e-6 (both land within half a
+# unit-in-the-6th-decimal of x; they differ only on exact .5 boundaries,
+# HALF_UP vs HALF_EVEN, and by ~1e-16 representation error). Candidate
+# pruning on the numpy-rounded proxy therefore keeps every row whose
+# SPARK-rounded value could reach the top-k when the threshold carries a
+# 2-delta safety margin; 3e-6 > 2 * 1.001e-6 with slack.
+_ROUND6_MARGIN = 3e-6
+# The chunk-level prune additionally scores with BLAS matmul + einsum
+# norms, whose pairwise/blocked summation differs from the exact
+# left-associated fold by <= dim * eps * sum|p_i| ~ 1e-12 for unit-scale
+# 64-dim data — absorbed by one extra 1e-6 of margin (4e-6 total);
+# surviving candidates are re-scored with the exact fold before emission.
+_ROUND6_MARGIN_BLAS = 4e-6
+
+
+def cosine_topk(
+    emb: DataFrame,
+    k: int = 5,
+    query_mod: int = 25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k: queries = rows with id % query_mod == 0.
+
+    Output: (query_id, rank, neighbor_id, cosine); self-matches excluded;
+    ties broken by neighbor_id ascending (deterministic). Bit-identical
+    to `cosine_topk_allpairs` (parity-tested), and to the DuckDB oracle.
+
+    Plan shape (guide §4.2 — the r6 q16 rewrite): ONE mapInArrow corpus
+    pass; the query matrix (n/query_mod rows — bounded exactly like the
+    broadcast side of the old nested loop) ships once per executor as a
+    closure constant. Per chunk the scan PRUNES with a BLAS matmul +
+    einsum-norm cosine (numerically within ~1e-12 of the exact fold) and
+    a numpy-rounded threshold carrying _ROUND6_MARGIN_BLAS — a provable
+    superset of every row whose Spark-rounded value can rank <= k (see
+    the margin notes above) — then RE-SCORES only the ~queries*k
+    survivors with the SAME float ops as the SQL fold: float->double
+    widening, a left-associated 0.0-seeded accumulation per coordinate
+    (numpy elementwise += in a fixed i=0..dim-1 loop is per-element
+    exactly ((0.0+p0)+p1)+...), norms likewise, cosine =
+    dot/(q_norm*c_norm), 0.0 on zero norms — so every emitted double is
+    the bit the SQL plan would produce. Rounding and ranking stay in
+    Spark SQL — F.round + window on ~n_partitions * queries * ~k
+    candidate rows — so round-semantics and tie-breaks are untouched.
+
+    The old plan shuffled ALL n*n/query_mod scored pairs into the window
+    and evaluated the 64-term fold interpreted above a
+    BroadcastNestedLoopJoin (~10 us/pair: 160 s for the 16M pairs at
+    sf1); this shape is the pq_topk scan pattern — candidates bounded per
+    partition, window input bounded at any corpus size."""
+    import numpy as np
+    import pyarrow as pa
+
+    from pyspark.sql.window import Window
+
+    qids, Q = _fetch_vecs_arrow(
+        emb.filter(F.col(id_col) % query_mod == 0), id_col, vec_col
+    )
+    if len(qids) == 0:
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rank long, neighbor_id long, cosine double"
+        )
+    nq, dim = Q.shape
+    # q_norm exactly as the SQL plan: left-assoc sum of squares, sqrt
+    qacc = np.zeros(nq)
+    for i in range(dim):
+        qacc += Q[:, i] * Q[:, i]
+    qnorm = np.sqrt(qacc)
+    kk = k
+    margin = _ROUND6_MARGIN
+    margin_blas = _ROUND6_MARGIN_BLAS
+    # chunk width bounds the (nq, CHUNK) score scratch to ~64 MB/task
+    CHUNK = max(256, min(8192, 8_000_000 // max(nq, 1)))
+
+    def _scan(batches):
+        d_buf = None  # (nq, CHUNK) scratch, first-touched once
+        cand_q: list = []
+        cand_i: list = []
+        cand_c: list = []
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            nids_all, X = _arrow_ids_vecs(rb.column(0), rb.column(1))
+            for s in range(0, len(X), CHUNK):
+                C = X[s : s + CHUNK]
+                nids = nids_all[s : s + CHUNK]
+                w = len(nids)
+                if d_buf is None:
+                    d_buf = np.empty((nq, CHUNK))
+                # approximate pass: BLAS dot + einsum norms (prune only)
+                dots = np.matmul(Q, C.T, out=d_buf[:, :w])
+                cn2 = np.einsum("ij,ij->i", C, C)
+                cnorm_a = np.sqrt(cn2)
+                denom = qnorm[:, None] * cnorm_a[None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos = dots / denom
+                cos[qnorm == 0.0, :] = 0.0
+                cos[:, cnorm_a == 0.0] = 0.0
+                # self-pairs excluded: mark -inf (never emitted)
+                self_m = nids[None, :] == qids[:, None]
+                if self_m.any():
+                    cos[self_m] = -np.inf
+                r = np.round(cos, 6)
+                if w > kk:
+                    thr = np.partition(r, w - kk, axis=1)[:, w - kk] - margin_blas
+                    keep = (r >= thr[:, None]) & np.isfinite(cos)
+                else:
+                    keep = np.isfinite(cos)
+                rows, cols = np.nonzero(keep)
+                # exact pass on the survivors only: the SQL fold's float
+                # ops, vectorized over candidate pairs
+                Qg = Q[rows]
+                Cg = C[cols]
+                m = len(rows)
+                acc = np.zeros(m)
+                c2 = np.zeros(m)
+                for i in range(dim):
+                    acc += Qg[:, i] * Cg[:, i]
+                    c2 += Cg[:, i] * Cg[:, i]
+                cn_e = np.sqrt(c2)
+                qn_e = qnorm[rows]
+                den_e = qn_e * cn_e
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    cos_e = acc / den_e
+                cos_e[(qn_e == 0.0) | (cn_e == 0.0)] = 0.0
+                cand_q.append(rows)
+                cand_i.append(nids[cols])
+                cand_c.append(cos_e)
+        if not cand_q:
+            return
+        q_idx = np.concatenate(cand_q)
+        ids = np.concatenate(cand_i)
+        cosv = np.concatenate(cand_c)
+        # partition-end prune: per query keep everything within margin of
+        # the k-th largest rounded cosine seen in this partition, so the
+        # emitted rows stay ~nq*k regardless of how many chunks ran
+        r = np.round(cosv, 6)
+        order = np.lexsort((ids, -r, q_idx))
+        qs, rs = q_idx[order], r[order]
+        present = np.unique(qs)
+        first = np.searchsorted(qs, present, side="left")
+        counts = np.searchsorted(qs, present, side="right") - first
+        thr_pos = first + np.minimum(kk, counts) - 1
+        thr_of_present = rs[thr_pos] - margin
+        thr_full = np.full(nq, -np.inf)
+        thr_full[present] = thr_of_present
+        keep = rs >= thr_full[qs]
+        yield pa.RecordBatch.from_pydict(
+            {
+                "query_id": qids[qs[keep]],
+                "neighbor_id": ids[order][keep],
+                "cosine": cosv[order][keep],
+            }
+        )
+
+    cand = emb.select(id_col, vec_col).mapInArrow(
+        _scan, "query_id long, neighbor_id long, cosine double"
+    )
+    scored = cand.withColumn("cosine", F.round(F.col("cosine"), 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )

@@ -200,3 +200,38 @@ def test_nearest_centroids_matches_argsort_oracle():
             want = np.argsort(d2, axis=1, kind="stable")[:, :p]
             got = similarity._nearest_centroids(X, C, p=p, chunk=100)
             assert (got == want).all(), (nlist, p)
+
+
+def test_cosine_topk_scan_matches_allpairs_bitexact(spark):
+    """r6 q16 rewrite: the mapInArrow scan (BLAS prune + exact-fold
+    re-score + margin-superset candidates) must reproduce the pure-SQL
+    broadcast-nested-loop plan BIT-FOR-BIT — ranks, ids, and every
+    rounded cosine double — on real data and on a tie-heavy synthetic
+    (exact duplicates, scaled copies, zero vectors: maximal rounded-tie
+    pressure on the margin logic)."""
+    import struct
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    new = sorted(tuple(r) for r in similarity.cosine_topk(emb, k=5, query_mod=25).collect())
+    old = sorted(
+        tuple(r) for r in similarity.cosine_topk_allpairs(emb, k=5, query_mod=25).collect()
+    )
+    assert len(new) == len(old) and len(new) > 0
+    for x, y in zip(new, old):
+        assert x[:3] == y[:3]
+        assert struct.pack("d", x[3]) == struct.pack("d", y[3])
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(40, 64).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i % 40]]) for i in range(300)]
+    rows += [(i, [0.0] * 64) for i in range(300, 310)]
+    rows += [(i, [float(x * 2.0) for x in base[i % 40]]) for i in range(310, 390)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(7)
+    new = sorted(tuple(r) for r in similarity.cosine_topk(df, k=5, query_mod=25).collect())
+    old = sorted(
+        tuple(r) for r in similarity.cosine_topk_allpairs(df, k=5, query_mod=25).collect()
+    )
+    assert len(new) == len(old) and len(new) > 0
+    for x, y in zip(new, old):
+        assert x[:3] == y[:3]
+        assert struct.pack("d", x[3]) == struct.pack("d", y[3])
