@@ -162,6 +162,31 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-adaptive scan parallelism for the MAP-HEAVY document queries
+    (guide §2.2/§6: partitioning derived from input shape, not a local
+    constant). The contract corpora are single-row-group parquet files,
+    so a bare scan yields 1-2 partitions and every interpreted-HOF or
+    explode-heavy map stage (minhash folds, shingle explodes, ring
+    joins) runs on 1-2 of the session's cores. When the scan has fewer
+    partitions than defaultParallelism, one round-robin repartition of
+    the raw corpus (~6 MB at sf1 — sub-0.2 s) unlocks full parallelism:
+    q45 25.2->7.1 s, q64 24.1->5.8 s, q11 23.1->5.8 s, q24 25.1->6.9 s,
+    q50 12.7->3.4 s at sf1/local[32] (alternating-order A/B minima). At
+    real scale a corpus scan has thousands of splits and this is a no-op
+    — the guard, not a tuned constant, carries the decision. Results are
+    partitioning-invariant for every caller (aggregates / keyed joins /
+    total-order windows; audited: no partition-id, rand, or unordered
+    limit in any query path). Deliberately NOT applied to the cheap
+    map-light queries (q03-q08, q34, q41, q43, q52-q57...), where the
+    extra exchange costs more than the parallelism returns (measured)."""
+    df = _docs(spark, sf_dir)
+    n = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 def q01_geocode_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Geocode + cell encode (SURVEY §7 step 2; geo.cell_id). Pure codegen stage."""
     pts = tiling.doc_points(_docs(spark, sf_dir), P)
@@ -295,7 +320,7 @@ def q10_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q11_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH banding -> candidate pairs -> exact n-gram Jaccard refine."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     sigs = dedup.minhash_signature(docs)
     pairs = dedup.lsh_candidate_pairs(dedup.lsh_buckets(sigs))
     return dedup.ngram_jaccard_pairs(docs, pairs)
@@ -438,7 +463,7 @@ def q23_point_in_box(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q24_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN via cell-ring expansion with brute-force fallback (north_rule);
     exact result, verified against the all-pairs oracle."""
-    pts = tiling.doc_points(_docs(spark, sf_dir), P)
+    pts = tiling.doc_points(_docs_par(spark, sf_dir), P)
     queries = pts.filter(F.col("doc_id") % 50 == 0).select(
         F.col("doc_id").alias("query_id"),
         F.col("lon").alias("q_lon"),
@@ -758,7 +783,7 @@ def q42_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition exceeds ~|vocab|/buckets rows at any scale. Output is
     bit-identical (each bigram occupies exactly one bucket). 100-TB
     shape: vocabulary/boilerplate mining."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     grams = docs.select(
         "lang", F.explode(T.shingles("text", 2)).alias("bigram")
     )
@@ -816,7 +841,7 @@ def q45_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     one row per cluster (canonical min-doc id, size, max member). The
     DuckDB twin walks the same edges with a recursive CTE — an
     independent fixpoint formulation of the same components."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     sigs = dedup.minhash_signature(docs)
     cand = dedup.lsh_candidate_pairs(dedup.lsh_buckets(sigs))
     jp = dedup.ngram_jaccard_pairs(docs, cand)
@@ -835,7 +860,7 @@ def q46_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, selection via orderBy+limit (TakeOrderedAndProject — never
     a single-partition window). 100-TB shape: relevance-ranked corpus
     retrieval / query-based subset mining."""
-    return rank.bm25_topk(_docs(spark, sf_dir))
+    return rank.bm25_topk(_docs_par(spark, sf_dir))
 
 
 def q47_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -844,7 +869,7 @@ def q47_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     combined) + the honest token->logprob shuffle join (hot stopword keys
     are AQE skew-join territory; at 100 TB the head vocabulary would be
     broadcast and only the tail shuffled) + per-doc agg."""
-    return rank.unigram_nll(_docs(spark, sf_dir))
+    return rank.unigram_nll(_docs_par(spark, sf_dir))
 
 
 def q48_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -939,7 +964,7 @@ def q50_lsh_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-pair materialization at any point (vs the q11/q45 pairwise
     chain) — and the batch twin of the streaming near-dup operator
     (streaming/ingest.streaming_neardup_keep)."""
-    return dedup.lsh_greedy_keep(_docs(spark, sf_dir))
+    return dedup.lsh_greedy_keep(_docs_par(spark, sf_dir))
 
 
 def q51_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,7 +974,7 @@ def q51_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     in >1 document corpus-wide. No pair enumeration — the denominator is
     map-side, grams shuffle once as 60-bit portable hashes, the dup-gram
     dictionary is a partial+final count, marking is a left-semi join."""
-    return dedup.dup_gram_stats(_docs(spark, sf_dir))
+    return dedup.dup_gram_stats(_docs_par(spark, sf_dir))
 
 
 SAMPLE_QUOTA = 3  # per-(lang, source) cap for the contract-sized corpus
@@ -1058,7 +1083,7 @@ def q58_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, pairs emerge sparsely from a gram-keyed self-join (fan-out
     bounded by sources-per-gram), sizes and counts are tiny aggregates.
     The curation decision surface for "which dump duplicates which"."""
-    return dedup.source_overlap_matrix(_docs(spark, sf_dir))
+    return dedup.source_overlap_matrix(_docs_par(spark, sf_dir))
 
 
 VOCAB_K = 10  # top-k for the contract corpus (its synthetic vocabulary is
@@ -1137,7 +1162,7 @@ def q64_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     larger — the quote/boilerplate duplication a symmetric Jaccard
     threshold misses. Same pruned candidate-volume plan as q11 plus one
     projection + filter."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs_par(spark, sf_dir)
     sigs = dedup.minhash_signature(docs)
     pairs = dedup.lsh_candidate_pairs(dedup.lsh_buckets(sigs))
     return dedup.containment_pairs(docs, pairs)

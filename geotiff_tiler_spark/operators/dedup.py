@@ -587,6 +587,62 @@ def duplicate_clusters(
 DUP_GRAM_K = 8
 
 
+# Java's \s without UNICODE_CHARACTER_CLASS — what F.split(.., r"\s+")
+# matches. Deliberately NOT Python's unicode \s (which adds \x1c-\x1f,
+# \x85, \xa0, ...): the Python twin must reproduce the JVM tokenizer
+# byte-for-byte. Parity pinned by test_dup_gram_python_tokenizer_parity.
+_JAVA_WS = __import__("re").compile(r"[ \t\n\x0B\f\r]+")
+
+
+def _py_tokens(s: str | None, strip_chars: str) -> list[str]:
+    """Python twin of functions.text.tokens(): trim, split on runs of
+    (Java) whitespace, drop empties. `strip_chars` is what F.trim
+    removes — ' ' per the Spark StringTrim contract."""
+    if s is None:
+        return []
+    return [t for t in _JAVA_WS.split(s.strip(strip_chars)) if t]
+
+
+def _gram_hash_rows(
+    docs: DataFrame, text_col: str, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, gh) rows — one row per DISTINCT k-token gram per doc,
+    gh = portable_hash64(gram) — computed in one mapInArrow pass with
+    hashlib.md5 (hashing.py_hash64's formula) instead of the interpreted
+    shingle-pyramid + md5 expression chain. Emission order per doc is
+    insertion order (dict.fromkeys), so recomputation is deterministic;
+    every consumer is order-invariant regardless."""
+    import hashlib
+
+    import pyarrow as pa
+
+    def _scan(batches):
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            txts = rb.column(1).to_pylist()
+            out_ids: list[int] = []
+            out_gh: list[int] = []
+            for did, s in zip(ids, txts):
+                toks = _py_tokens(s, " ")
+                n = len(toks) - k + 1
+                if n <= 0:
+                    continue
+                grams = dict.fromkeys(
+                    " ".join(toks[j : j + k]) for j in range(n)
+                )
+                for g in grams:
+                    out_gh.append(
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                    )
+                out_ids.extend([did] * len(grams))
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(out_ids, pa.int64()), pa.array(out_gh, pa.int64())],
+                [id_col, "gh"],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(_scan, f"{id_col} long, gh long")
+
+
 def dup_gram_stats(
     docs: DataFrame, text_col: str = "text", k: int = DUP_GRAM_K
 ) -> DataFrame:
@@ -621,7 +677,62 @@ def dup_gram_stats(
     engines agree by construction). Output: doc_id, n_grams,
     n_dup_grams, dup_frac (round 9 — a ratio of two bigints, not an
     order-dependent sum).
+
+    r6 implementation (guide §4.2 + §2.4; results unchanged — see
+    `_dup_gram_stats_expr`, the retained expression form, and the
+    bit-parity test): gram construction + hashing moved from the
+    interpreted shingle-pyramid expression (7 zip_with concat passes per
+    gram + array_distinct over gram STRINGS: ~12 s per evaluation at sf1
+    even on 32 cores, and the plan evaluated it once per branch) into
+    ONE mapInArrow pass emitting (doc_id, gh) rows — the Python
+    tokenizer `_py_tokens` is parity-pinned to the JVM tokens()
+    contract and gh is hashing.py_hash64, the sanctioned Python twin of
+    portable_hash64. The pass feeds a single repartition("gh") exchange
+    that all three consumers (dup dictionary, semi-join marking, per-doc
+    gram counts) REUSE, so the corpus is tokenized exactly once and the
+    plan holds one gh exchange + two doc_id exchanges; n_grams comes
+    from a count over the same gram rows instead of a second shingle
+    evaluation (identical by construction: the per-doc distinct gram
+    set). Gram rows stay corpus-sized map output — nothing is persisted
+    (the fused-recompute rule), reuse is static exchange reuse.
     """
+    grams = _gram_hash_rows(docs, text_col=text_col, k=k)
+    grams_gh = grams.repartition("gh")
+    dup_dict = (
+        grams_gh.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") > 1)
+        .select("gh")
+    )
+    dup_per_doc = (
+        grams_gh.join(dup_dict, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_n_dup"))
+    )
+    n_grams = grams_gh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    return (
+        n_grams.join(dup_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("_n_dup"), F.lit(0)).cast("bigint").alias("n_dup_grams"),
+            F.round(
+                F.coalesce(F.col("_n_dup"), F.lit(0)).cast("double")
+                / F.col("n_grams"),
+                9,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def _dup_gram_stats_expr(
+    docs: DataFrame, text_col: str = "text", k: int = DUP_GRAM_K
+) -> DataFrame:
+    """The pre-r6 pure-expression form of `dup_gram_stats` (shingle
+    pyramid + portable_hash64 per branch). Retained as the parity oracle
+    for the mapInArrow form — outputs must match exactly."""
     from geotiff_tiler_spark.functions.hashing import portable_hash64
 
     sh = F.array_distinct(T.shingles(text_col, k))

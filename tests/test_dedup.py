@@ -229,3 +229,45 @@ def test_dup_gram_stats_matches_duckdb(spark):
     assert got == want
     assert got[90][2] == 1.0
     assert 91 not in got
+
+
+def test_dup_gram_python_tokenizer_parity(spark):
+    """r6 q51 rewrite: the Python tokenizer inside _gram_hash_rows must
+    equal the JVM tokens() contract byte-for-byte, including Java-\\s-only
+    whitespace (\\x0b yes, \\xa0/\\x85/\\x1c no) and trim-space-only."""
+    from geotiff_tiler_spark.functions import text as T
+    from geotiff_tiler_spark.operators import dedup
+
+    adv = ["", " ", "a", " a b ", "a\tb\x0bc\fd\re\nf", "a\xa0b", "x \x1c y",
+           "tab\t\t end ", " em g", "trailing \t", "\t lead", "a  b   c",
+           None, "\x0b\x0b", "é ü ñ", "a\x85b"]
+    rows = [(i, s) for i, s in enumerate(adv)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = {
+        r.doc_id: (r.toks or [])
+        for r in df.select("doc_id", T.tokens("text").alias("toks")).collect()
+    }
+    for i, s in rows:
+        assert jvm.get(i, []) == dedup._py_tokens(s, " "), (i, repr(s))
+
+
+def test_dup_gram_stats_arrow_matches_expr_form(spark):
+    """r6 q51 rewrite: the mapInArrow gram kernel + reused-exchange plan
+    must reproduce the retained expression form exactly (all columns,
+    including the rounded dup_frac), on real data and on adversarial
+    whitespace docs."""
+    from geotiff_tiler_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted(tuple(r) for r in dedup.dup_gram_stats(docs).collect())
+    b = sorted(tuple(r) for r in dedup._dup_gram_stats_expr(docs).collect())
+    assert a == b and len(a) > 0
+
+    adv = ["a b c d e f g h a b c d e f g h", "a\tb\x0bc d e f g h i j",
+           "", None, "one two", "x " * 20]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(adv)], "doc_id long, text string"
+    )
+    a = sorted(tuple(r) for r in dedup.dup_gram_stats(df, k=2).collect())
+    b = sorted(tuple(r) for r in dedup._dup_gram_stats_expr(df, k=2).collect())
+    assert a == b and len(a) > 0
