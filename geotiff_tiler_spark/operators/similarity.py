@@ -185,6 +185,57 @@ _ROUND6_MARGIN = 3e-6
 _ROUND6_MARGIN_BLAS = 4e-6
 
 
+def _cosine_pair_udf():
+    """Arrow-batched pandas UDF scoring (q_vec, c_vec) PAIR rows with the
+    exact SQL-fold float ops: float->double widening, left-associated
+    0.0-seeded accumulation for dot and both norms, cosine =
+    dot/(q_norm*c_norm), 0.0 on zero norms — bit-identical doubles to
+    `_with_cosine_prenormed` (parity-tested via the q17/q33 paths).
+    Replaces the INTERPRETED 64-step fold in candidate-scoring
+    projections (~10 us/pair above a join) with one vectorized batch
+    pass; norms move inside the kernel, so callers ship only (id, vec)
+    into the candidate joins (guide §2.3: narrower exchanges).
+    Marked asNondeterministic for the same reason as
+    _centroid_argmin_udf: a threshold filter on the output column
+    (neardup_pairs_banded) must not clone the evaluation below a
+    pushed-down predicate (guide §4.4)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _cos(qv, cv):
+        if len(qv) == 0:
+            return pd.Series([], dtype="float64")
+        Q = _stack_rows(qv)
+        C = _stack_rows(cv)
+        m, dim = Q.shape
+        acc = np.zeros(m)
+        q2 = np.zeros(m)
+        c2 = np.zeros(m)
+        for i in range(dim):
+            acc += Q[:, i] * C[:, i]
+            q2 += Q[:, i] * Q[:, i]
+            c2 += C[:, i] * C[:, i]
+        qn = np.sqrt(q2)
+        cn = np.sqrt(c2)
+        den = qn * cn
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = acc / den
+        cos[(qn == 0.0) | (cn == 0.0)] = 0.0
+        return pd.Series(cos)
+
+    return pandas_udf(_cos, "double").asNondeterministic()
+
+
+def _with_cosine_arrow(df: DataFrame, a: str, b: str) -> DataFrame:
+    """cosine(a, b) rounded to 6 decimals via the Arrow pair kernel —
+    same output column contract as `_with_cosine_prenormed`, no
+    pre-joined norm columns needed."""
+    return df.withColumn(
+        "cosine", F.round(_cosine_pair_udf()(F.col(a), F.col(b)), 6)
+    )
+
+
 def cosine_topk(
     emb: DataFrame,
     k: int = 5,
@@ -494,20 +545,20 @@ def ann_topk_banded(
     qv = emb.filter(F.col(id_col) % query_mod == 0).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
     )
     cv = emb.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
     )
     # no broadcast hint on qv: the query side is 1/query_mod of ALL rows,
     # which at web scale exceeds Spark's broadcast cap — AQE picks the
     # strategy from the measured size instead (round-2 ADVICE)
-    scored = _with_cosine_prenormed(
-        cand.join(qv, "query_id").join(cv, "neighbor_id"),
-        "q_vec", "c_vec", "q_norm", "c_norm",
-    )
+    # r6: candidate scoring via the Arrow pair kernel (bit-identical to
+    # the interpreted fold it replaces; norms computed in-kernel, so the
+    # joins ship vectors only) — q17 sf1 candidate stage ~3x faster
+    scored = _with_cosine_arrow(
+        cand.join(qv, "query_id").join(cv, "neighbor_id"), "q_vec", "c_vec"
+    ).select("query_id", "neighbor_id", "cosine")
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()
     )
@@ -546,19 +597,12 @@ def neardup_pairs_banded(
         .select("id_a", "id_b")
         .distinct()
     )
-    va = emb.select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("va"),
-        _norm(F.col(vec_col)).alias("na"),
-    )
-    vb = emb.select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("vb"),
-        _norm(F.col(vec_col)).alias("nb"),
-    )
-    scored = _with_cosine_prenormed(
-        pairs.join(va, "id_a").join(vb, "id_b"), "va", "vb", "na", "nb"
-    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # r6: Arrow pair kernel (bit-identical to the interpreted fold; see
+    # _cosine_pair_udf — asNondeterministic keeps the threshold filter
+    # from cloning the eval below a pushed-down predicate)
+    scored = _with_cosine_arrow(pairs.join(va, "id_a").join(vb, "id_b"), "va", "vb")
     return scored.filter(F.col("cosine") >= threshold).select("id_a", "id_b", "cosine")
 
 

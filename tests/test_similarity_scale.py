@@ -235,3 +235,34 @@ def test_cosine_topk_scan_matches_allpairs_bitexact(spark):
     for x, y in zip(new, old):
         assert x[:3] == y[:3]
         assert struct.pack("d", x[3]) == struct.pack("d", y[3])
+
+
+def test_cosine_pair_arrow_kernel_matches_prenormed_fold(spark):
+    """r6 q17/q33 scoring swap: the Arrow pair kernel must produce the
+    same rounded cosine doubles as the interpreted prenormed fold on a
+    joined pair frame (incl. zero-norm rows)."""
+    import struct
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"),
+                   similarity._norm(F.col("embedding")).alias("na"))
+    b = emb.select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"),
+                   similarity._norm(F.col("embedding")).alias("nb"))
+    pairs = a.crossJoin(b).filter((F.col("ida") % 37 == 0) & (F.col("idb") % 11 == 0))
+    zero = spark.createDataFrame(
+        [(10_001, [0.0] * 64, 0.0)], "ida long, va array<float>, na double"
+    )
+    pairs = pairs.unionByName(
+        zero.crossJoin(b.limit(3))
+    )
+    old = {
+        (r.ida, r.idb): r.cosine
+        for r in similarity._with_cosine_prenormed(pairs, "va", "vb", "na", "nb").collect()
+    }
+    new = {
+        (r.ida, r.idb): r.cosine
+        for r in similarity._with_cosine_arrow(pairs, "va", "vb").collect()
+    }
+    assert old.keys() == new.keys() and len(old) > 50
+    for kk in old:
+        assert struct.pack("d", old[kk]) == struct.pack("d", new[kk]), kk
