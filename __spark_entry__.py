@@ -321,8 +321,7 @@ def q10_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q11_lsh_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash LSH banding -> candidate pairs -> exact n-gram Jaccard refine."""
     docs = _docs_par(spark, sf_dir)
-    sigs = dedup.minhash_signature(docs)
-    pairs = dedup.lsh_candidate_pairs(dedup.lsh_buckets(sigs))
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_buckets_arrow(docs))
     return dedup.ngram_jaccard_pairs(docs, pairs)
 
 
@@ -842,8 +841,7 @@ def q45_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB twin walks the same edges with a recursive CTE — an
     independent fixpoint formulation of the same components."""
     docs = _docs_par(spark, sf_dir)
-    sigs = dedup.minhash_signature(docs)
-    cand = dedup.lsh_candidate_pairs(dedup.lsh_buckets(sigs))
+    cand = dedup.lsh_candidate_pairs(dedup.lsh_buckets_arrow(docs))
     jp = dedup.ngram_jaccard_pairs(docs, cand)
     dup = jp.filter(F.col("jaccard") >= DUP_CLUSTER_THRESHOLD).select("doc_a", "doc_b")
     clusters = dedup.duplicate_clusters(dup)
@@ -1163,8 +1161,7 @@ def q64_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold misses. Same pruned candidate-volume plan as q11 plus one
     projection + filter."""
     docs = _docs_par(spark, sf_dir)
-    sigs = dedup.minhash_signature(docs)
-    pairs = dedup.lsh_candidate_pairs(dedup.lsh_buckets(sigs))
+    pairs = dedup.lsh_candidate_pairs(dedup.lsh_buckets_arrow(docs))
     return dedup.containment_pairs(docs, pairs)
 
 

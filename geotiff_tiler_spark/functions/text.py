@@ -45,6 +45,22 @@ def tokens(text_col) -> Column:
     return F.filter(arr, lambda x: x != F.lit(""))
 
 
+# Java's \s without UNICODE_CHARACTER_CLASS — what F.split(.., r"\s+")
+# matches. Deliberately NOT Python's unicode \s (which adds \x1c-\x1f,
+# \x85, \xa0, ...): the Python twin must reproduce the JVM tokenizer
+# byte-for-byte. Parity pinned by test_dup_gram_python_tokenizer_parity.
+_JAVA_WS = __import__("re").compile(r"[ \t\n\x0B\f\r]+")
+
+
+def py_tokens(s: str | None, strip_chars: str = " ") -> list[str]:
+    """Python twin of `tokens()` for Arrow-kernel hot paths: trim, split
+    on runs of (Java) whitespace, drop empties. `strip_chars` is what
+    F.trim removes — ' ' per the Spark StringTrim contract."""
+    if s is None:
+        return []
+    return [t for t in _JAVA_WS.split(s.strip(strip_chars)) if t]
+
+
 def tokens_sql(expr: str) -> str:
     return f"list_filter(string_split_regex(trim({expr}), '\\s+'), x -> x <> '')"
 

@@ -209,6 +209,104 @@ def lsh_buckets(
     )
 
 
+def lsh_buckets_arrow(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = BANDS,
+    rows_per_band: int = ROWS_PER_BAND,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """(doc_id, band, bucket) — `lsh_buckets(minhash_signature(docs))`
+    fused into ONE mapInArrow pass (r6, guide §4.2). Byte-identical by
+    construction and by parity test: the Python tokenizer is the pinned
+    JVM twin (functions.text.py_tokens), base hashes are
+    hashing.py_hash64 mod P, permutations are the same exact int64
+    arithmetic (a*h+b < 2^62, no overflow), minima are taken over the
+    DISTINCT shingle set (duplicates cannot change a min), empty/short/
+    null texts take the (a*EMPTY_BASE+b) mod P sentinel path, and the
+    band key is md5 of the same '_'-joined decimal signature string.
+
+    Exists because the expression form's aggregate/zip_with fold is
+    INTERPRETED (~2 s per evaluation over 50k docs even on 32 cores —
+    the dominant stage cost of the q11/q45/q64/q50 chains), while this
+    pass is a vectorized reduceat over the batch's flattened shingle
+    hashes. The expression form remains the streaming/extra-cols path
+    and the parity oracle (test_lsh_buckets_arrow_matches_expr)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    num_hashes = bands * rows_per_band
+    consts = PERM_CONSTS[:num_hashes]
+    A = np.array([a for a, _ in consts], dtype=np.int64)
+    B = np.array([b for _, b in consts], dtype=np.int64)
+    sentinel = np.array(
+        [(a * EMPTY_BASE + b) % MINHASH_P for a, b in consts], dtype=np.int64
+    )
+    hexw = HEX_WIDTH
+
+    def _scan(batches):
+        for rb in batches:
+            ids = rb.column(0).to_pylist()
+            txts = rb.column(1).to_pylist()
+            nd = len(ids)
+            flat: list[int] = []
+            counts = np.empty(nd, dtype=np.int64)
+            for j, s in enumerate(txts):
+                toks = _py_tokens(s, " ")
+                n = len(toks) - k + 1
+                if n <= 0:
+                    counts[j] = 0
+                    continue
+                grams = dict.fromkeys(
+                    " ".join(toks[i : i + k]) for i in range(n)
+                )
+                for g in grams:
+                    flat.append(
+                        int(hashlib.md5(g.encode("utf-8")).hexdigest()[:hexw], 16)
+                        % MINHASH_P
+                    )
+                counts[j] = len(grams)
+            H = np.asarray(flat, dtype=np.int64)
+            offs = np.zeros(nd, dtype=np.int64)
+            np.cumsum(counts[:-1], out=offs[1:] if nd > 1 else offs[:0])
+            nonempty = counts > 0
+            ne_offs = offs[nonempty]
+            sig = np.tile(sentinel, (nd, 1))  # (nd, num_hashes)
+            if len(H):
+                for i in range(num_hashes):
+                    v = (A[i] * H + B[i]) % MINHASH_P
+                    sig[nonempty, i] = np.minimum.reduceat(v, ne_offs)
+            out_ids = np.repeat(np.asarray(ids, dtype=np.int64), bands)
+            out_band = np.tile(np.arange(bands, dtype=np.int32), nd)
+            out_bucket = np.empty(nd * bands, dtype=np.int64)
+            p = 0
+            for j in range(nd):
+                row = sig[j]
+                for b in range(bands):
+                    key = "_".join(
+                        str(row[b * rows_per_band + r]) for r in range(rows_per_band)
+                    )
+                    out_bucket[p] = int(
+                        hashlib.md5(key.encode("utf-8")).hexdigest()[:hexw], 16
+                    )
+                    p += 1
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(out_ids, pa.int64()),
+                    pa.array(out_band, pa.int32()),
+                    pa.array(out_bucket, pa.int64()),
+                ],
+                [id_col, "band", "bucket"],
+            )
+
+    return docs.select(id_col, text_col).mapInArrow(
+        _scan, f"{id_col} long, band int, bucket long"
+    )
+
+
 def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
     """Docs sharing any (band, bucket): distinct candidate pairs a < b.
 
@@ -259,8 +357,11 @@ def lsh_greedy_keep(
     key equality to MinHash similarity."""
     from pyspark.sql.window import Window
 
-    sigs = minhash_signature(docs.select(id_col, text_col), text_col=text_col)
-    b = lsh_buckets(sigs, bands, rows_per_band)
+    # r6: fused Arrow banding kernel (bit-identical to
+    # lsh_buckets(minhash_signature(..)) — see lsh_buckets_arrow)
+    b = lsh_buckets_arrow(
+        docs, text_col=text_col, id_col=id_col, bands=bands, rows_per_band=rows_per_band
+    )
     bucket_min = F.min(id_col).over(Window.partitionBy("band", "bucket"))
     won = b.withColumn("_won", (F.col(id_col) == bucket_min).cast("int"))
     return (
@@ -587,20 +688,10 @@ def duplicate_clusters(
 DUP_GRAM_K = 8
 
 
-# Java's \s without UNICODE_CHARACTER_CLASS — what F.split(.., r"\s+")
-# matches. Deliberately NOT Python's unicode \s (which adds \x1c-\x1f,
-# \x85, \xa0, ...): the Python twin must reproduce the JVM tokenizer
-# byte-for-byte. Parity pinned by test_dup_gram_python_tokenizer_parity.
-_JAVA_WS = __import__("re").compile(r"[ \t\n\x0B\f\r]+")
-
-
-def _py_tokens(s: str | None, strip_chars: str) -> list[str]:
-    """Python twin of functions.text.tokens(): trim, split on runs of
-    (Java) whitespace, drop empties. `strip_chars` is what F.trim
-    removes — ' ' per the Spark StringTrim contract."""
-    if s is None:
-        return []
-    return [t for t in _JAVA_WS.split(s.strip(strip_chars)) if t]
+# Python twin of the JVM tokenizer (functions.text.py_tokens) — shared by
+# every Arrow text kernel; parity pinned by
+# test_dup_gram_python_tokenizer_parity.
+_py_tokens = T.py_tokens
 
 
 def _gram_hash_rows(

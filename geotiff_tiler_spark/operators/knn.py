@@ -107,6 +107,10 @@ def knn_cell_ring(
     unresolved = q
     best: DataFrame | None = None
     resolved_parts: list[DataFrame] = []
+    # r6: one up-front count replaces the per-round unresolved.isEmpty()
+    # action (which re-evaluated the growing anti-join chain every round);
+    # the loop now breaks on arithmetic over the per-round done counts.
+    n_unres = unresolved.count()
 
     for r in range(max_ring + 1):
         if r == 0:
@@ -149,7 +153,14 @@ def knn_cell_ring(
         best = best.localCheckpoint(eager=checkpoint_eager)
 
         # a query is resolved when it has k candidates AND the kth distance
-        # fits inside the ring-r guarantee radius
+        # fits inside the ring-r guarantee radius. r6: the r=0 check is
+        # skipped outright — guard is 0 there, so it can only resolve
+        # exact-duplicate stacks (kth == 0), and deferring those to the
+        # r=1 check changes no output (their top-k rows are already in
+        # `best` and survive the extra ring unchanged) while saving a
+        # full round of stats/anti-join/action bookkeeping.
+        if r == 0 and max_ring > 0:
+            continue
         guard = (r * min_cell) ** 2
         stats = best.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n_cand"), F.max("dist2").alias("kth")
@@ -157,14 +168,17 @@ def knn_cell_ring(
         done_ids = stats.filter((F.col("n_cand") >= k) & (F.col("kth") <= F.lit(guard))).select(
             "query_id"
         )
-        resolved_parts.append(
-            best.join(done_ids, "query_id", "left_semi").select(
-                "query_id", "neighbor_id", "dist2"
+        done_n = done_ids.count()
+        if done_n:
+            resolved_parts.append(
+                best.join(done_ids, "query_id", "left_semi").select(
+                    "query_id", "neighbor_id", "dist2"
+                )
             )
-        )
-        best = best.join(done_ids, "query_id", "left_anti")
-        unresolved = unresolved.join(done_ids, "query_id", "left_anti")
-        if unresolved.isEmpty():
+            best = best.join(done_ids, "query_id", "left_anti")
+            unresolved = unresolved.join(done_ids, "query_id", "left_anti")
+            n_unres -= done_n
+        if n_unres == 0:
             break
     else:
         # fallback: brute force for the starved queries

@@ -271,3 +271,28 @@ def test_dup_gram_stats_arrow_matches_expr_form(spark):
     a = sorted(tuple(r) for r in dedup.dup_gram_stats(df, k=2).collect())
     b = sorted(tuple(r) for r in dedup._dup_gram_stats_expr(df, k=2).collect())
     assert a == b and len(a) > 0
+
+
+def test_lsh_buckets_arrow_matches_expr(spark):
+    """r6 banding kernel: lsh_buckets_arrow must equal
+    lsh_buckets(minhash_signature(docs)) row-for-row, including the
+    empty/short/null-text sentinel path."""
+    from geotiff_tiler_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted((r.doc_id, r.band, r.bucket) for r in dedup.lsh_buckets_arrow(docs).collect())
+    b = sorted(
+        (r.doc_id, r.band, r.bucket)
+        for r in dedup.lsh_buckets(dedup.minhash_signature(docs)).collect()
+    )
+    assert a == b and len(a) > 0
+
+    adv = [(1, None), (2, ""), (3, "one two"), (4, "one two three"),
+           (5, "a b c d e f"), (6, "a  b\tc \x0b d"), (7, "x y z x y z x y z")]
+    df = spark.createDataFrame(adv, "doc_id long, text string")
+    a = sorted((r.doc_id, r.band, r.bucket) for r in dedup.lsh_buckets_arrow(df).collect())
+    b = sorted(
+        (r.doc_id, r.band, r.bucket)
+        for r in dedup.lsh_buckets(dedup.minhash_signature(df)).collect()
+    )
+    assert a == b and len(a) == 7 * 4
