@@ -66,43 +66,56 @@ def materialize_label_tiles(
         .select("image_id", "tile_x", "tile_y", "px", "py", class_col)
     )
 
-    def _burn(pdf: pd.DataFrame) -> pd.DataFrame:
-        img = int(pdf["image_id"].iloc[0])
-        tx = int(pdf["tile_x"].iloc[0])
-        ty = int(pdf["tile_y"].iloc[0])
-        lx = pdf["px"].to_numpy(dtype=np.int64) - tx
-        ly = pdf["py"].to_numpy(dtype=np.int64) - ty
+    # r6 (guide §4.1/§4.2): applyInArrow instead of applyInPandas — the
+    # 1000s of per-tile groups paid a pandas block-manager construction
+    # each (~3 ms/group dominated the q35 stage); Arrow hands the group
+    # as column buffers. Same numpy math, byte-identical patches
+    # (test_label_tiles_arrow_matches_pandas). The nodata stripe mask is
+    # one add+mod over a precomputed local-grid base instead of two
+    # np.add.outer allocations per tile: ((7*(px+tx) + 13*(py+ty)) % 97
+    # == ((7*px + 13*py) + (7*tx + 13*ty)) % 97 exactly (non-negative
+    # ints), so synthetic_nodata_mask's values are unchanged.
+    base_grid = (
+        7 * np.add.outer(np.zeros(ph, dtype=np.int64), np.arange(pw))
+        + 13 * np.add.outer(np.arange(ph, dtype=np.int64), np.zeros(pw, dtype=np.int64))
+    )
+
+    def _burn_arrow(tbl):
+        import pyarrow as pa
+
+        img = tbl.column("image_id")[0].as_py()
+        tx = tbl.column("tile_x")[0].as_py()
+        ty = tbl.column("tile_y")[0].as_py()
+        lx = tbl.column("px").to_numpy(zero_copy_only=False).astype(np.int64) - tx
+        ly = tbl.column("py").to_numpy(zero_copy_only=False).astype(np.int64) - ty
         # boundless window: coordinates past the image edge still land in
         # the full-size patch; outside the patch would be a bug
         keep = (lx >= 0) & (lx < pw) & (ly >= 0) & (ly < ph)
         lx, ly = lx[keep], ly[keep]
+        cls = tbl.column(class_col).to_pylist()
         burn = np.array(
-            [burn_map[c] for c in pdf[class_col].to_numpy()[keep]], dtype=np.int64
+            [burn_map[c] for c, kp in zip(cls, keep) if kp], dtype=np.int64
         )
         patch = raster.rasterize_points(lx, ly, burn, pw, ph)
-        nod = synthetic_nodata_mask(
-            np.add.outer(np.zeros(ph, dtype=np.int64), np.arange(pw)) + tx,
-            np.add.outer(np.arange(ph, dtype=np.int64), np.zeros(pw, dtype=np.int64)) + ty,
-        )
+        nod = (base_grid + (7 * tx + 13 * ty)) % 97 == 0
         patch = raster.apply_nodata_mask(patch, nod)
-        n_label = int(((patch > 0) & (patch != raster.IGNORE)).sum())
-        n_classes = int(len(np.unique(patch[(patch > 0) & (patch != raster.IGNORE)])))
-        return pd.DataFrame(
+        lbl = (patch > 0) & (patch != raster.IGNORE)
+        n_label = int(lbl.sum())
+        n_classes = int(len(np.unique(patch[lbl])))
+        return pa.Table.from_arrays(
             [
-                (
-                    img,
-                    tx,
-                    ty,
-                    patch.tobytes(),
-                    n_label,
-                    n_classes,
-                )
+                pa.array([img], pa.int64()),
+                pa.array([tx], pa.int64()),
+                pa.array([ty], pa.int64()),
+                pa.array([patch.tobytes()], pa.binary()),
+                pa.array([n_label], pa.int64()),
+                pa.array([n_classes], pa.int32()),
             ],
-            columns=["image_id", "tile_x", "tile_y", "patch", "n_label_px", "n_classes"],
+            ["image_id", "tile_x", "tile_y", "patch", "n_label_px", "n_classes"],
         )
 
-    return assigned.groupBy("image_id", "tile_x", "tile_y").applyInPandas(
-        _burn, LABEL_TILE_SCHEMA
+    return assigned.groupBy("image_id", "tile_x", "tile_y").applyInArrow(
+        _burn_arrow, LABEL_TILE_SCHEMA
     )
 
 

@@ -304,3 +304,59 @@ def test_overlay_nodata_intersection_parity_with_per_pixel():
     label_px = _rasterize_polys(labels, h, w)
     want = label_px & valid  # the per-pixel path: nodata -> removed
     assert (got == want).all()
+
+
+def test_label_tiles_arrow_matches_reference_burn(spark):
+    """r6 q35: the applyInArrow tile materialization must produce byte-
+    identical patches and stats to a straight-line pandas reference of
+    the same burn math (keep-mask, ascending burn, stripe nodata)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from geotiff_tiler_spark.operators import raster, tiling
+    from geotiff_tiler_spark.plans.raster_pipeline import (
+        assign_tiles,
+        materialize_label_tiles,
+        synthetic_nodata_mask,
+    )
+    import __spark_entry__ as e
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pts = tiling.doc_points(docs, e.P)
+    got = {
+        (r.image_id, r.tile_x, r.tile_y): (bytes(r.patch), r.n_label_px, r.n_classes)
+        for r in materialize_label_tiles(
+            pts, e.P, class_order=["en", "fr", "de", "es"]
+        ).collect()
+    }
+    burn_map = raster.burn_value_map(["en", "fr", "de", "es"], continuous=True)
+    pw, ph = e.P.patch_w, e.P.patch_h
+    asg = (
+        assign_tiles(pts, e.P)
+        .filter(F.col("lang").isin(["en", "fr", "de", "es"]))
+        .select("image_id", "tile_x", "tile_y", "px", "py", "lang")
+        .toPandas()
+    )
+    want = {}
+    for (img, tx, ty), g in asg.groupby(["image_id", "tile_x", "tile_y"]):
+        lx = g["px"].to_numpy(dtype=np.int64) - tx
+        ly = g["py"].to_numpy(dtype=np.int64) - ty
+        keep = (lx >= 0) & (lx < pw) & (ly >= 0) & (ly < ph)
+        lx, ly = lx[keep], ly[keep]
+        burn = np.array([burn_map[c] for c in g["lang"].to_numpy()[keep]], dtype=np.int64)
+        patch = raster.rasterize_points(lx, ly, burn, pw, ph)
+        nod = synthetic_nodata_mask(
+            np.add.outer(np.zeros(ph, dtype=np.int64), np.arange(pw)) + tx,
+            np.add.outer(np.arange(ph, dtype=np.int64), np.zeros(pw, dtype=np.int64)) + ty,
+        )
+        patch = raster.apply_nodata_mask(patch, nod)
+        lbl = (patch > 0) & (patch != raster.IGNORE)
+        want[(img, tx, ty)] = (
+            patch.tobytes(),
+            int(lbl.sum()),
+            int(len(np.unique(patch[lbl]))),
+        )
+    assert got.keys() == want.keys() and len(got) > 0
+    for kk in got:
+        assert got[kk] == want[kk], kk
