@@ -783,9 +783,8 @@ def q42_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical (each bigram occupies exactly one bucket). 100-TB
     shape: vocabulary/boilerplate mining."""
     docs = _docs_par(spark, sf_dir)
-    grams = docs.select(
-        "lang", F.explode(T.shingles("text", 2)).alias("bigram")
-    )
+    # r6: gram explode via the Arrow kernel (functions.text.gram_rows)
+    grams = T.gram_rows(docs, ["lang"], k=2, out_col="bigram")
     cnt = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
     return skew.bounded_topk(
         cnt,

@@ -296,3 +296,41 @@ def test_lsh_buckets_arrow_matches_expr(spark):
         for r in dedup.lsh_buckets(dedup.minhash_signature(df)).collect()
     )
     assert a == b and len(a) == 7 * 4
+
+
+def test_arrow_row_kernels_match_jvm_explode(spark):
+    """r6: token_rows / gram_rows must equal the JVM
+    select(cols, explode(tokens/shingles)) row-multiset exactly,
+    including null/empty/short-text drop behavior."""
+    from pyspark.sql import functions as F
+
+    from geotiff_tiler_spark.functions import text as T
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = sorted((r.doc_id, r.tok) for r in T.token_rows(docs, ["doc_id"]).collect())
+    b = sorted(
+        (r.doc_id, r.tok)
+        for r in docs.select("doc_id", F.explode(T.tokens("text")).alias("tok")).collect()
+    )
+    assert a == b and len(a) > 0
+    a = sorted((r.lang, r.gram) for r in T.gram_rows(docs, ["lang"], k=2).collect())
+    b = sorted(
+        (r.lang, r.gram)
+        for r in docs.select("lang", F.explode(T.shingles("text", 2)).alias("gram")).collect()
+    )
+    assert a == b and len(a) > 0
+
+    adv = [(1, None, "s1"), (2, "", "s2"), (3, "one", "s1"), (4, " a\tb \x0b c ", "s2")]
+    df = spark.createDataFrame(adv, "doc_id long, text string, source string")
+    a = sorted((r.source, r.tok) for r in T.token_rows(df, ["source"]).collect())
+    b = sorted(
+        (r.source, r.tok)
+        for r in df.select("source", F.explode(T.tokens("text")).alias("tok")).collect()
+    )
+    assert a == b
+    a = sorted((r.doc_id, r.gram) for r in T.gram_rows(df, ["doc_id"], k=2).collect())
+    b = sorted(
+        (r.doc_id, r.gram)
+        for r in df.select("doc_id", F.explode(T.shingles("text", 2)).alias("gram")).collect()
+    )
+    assert a == b
