@@ -70,7 +70,7 @@ def knn_cell_ring(
     k: int,
     res: int | None = None,
     max_ring: int = 4,
-    target_rows_per_cell: int = 100_000,
+    target_rows_per_cell: int = 2_000,
     checkpoint_eager: bool = True,
 ) -> DataFrame:
     """Exact kNN: iterative ring expansion, brute-force fallback for the rest.
@@ -85,6 +85,16 @@ def knn_cell_ring(
     under `target_rows_per_cell`, so ring joins stay task-sized at any
     data scale instead of relying on a fixed res=4 (256 world cells).
     The result is EXACT for every res — only the join granularity moves.
+
+    r6: the default target dropped 100_000 -> 2_000. A ring probe emits
+    ~(2r+1)^2 * target candidate rows PER QUERY, so the old default made
+    every query scan ~9e5 rows at r=1 — measured 53.8 s at a 200k-point
+    4x-scaled corpus vs 4.2 s at target=2000 (res 2 -> 4; identical
+    output, the ring-vs-brute pytest and the q24 oracle pin exactness).
+    2000 = 400x the contract k — far above what exactness needs, far
+    below the old scan-everything regime; still data-adaptive through
+    choose_res, still capped at res hi=8 (the documented limit at
+    >= 65k-cell scales).
     """
     if res is None:
         from geotiff_tiler_spark.operators.spatial_join import choose_res
@@ -112,9 +122,21 @@ def knn_cell_ring(
     # the loop now breaks on arithmetic over the per-round done counts.
     n_unres = unresolved.count()
 
-    for r in range(max_ring + 1):
-        if r == 0:
-            offs = [(0, 0)]
+    # r6: rings 0 and 1 probe together in the first iteration (9 offsets)
+    # when max_ring >= 1 — the r=0 round's resolution check had guard 0
+    # (see below), so running it separately only added a probe join, a
+    # top-k window and a checkpoint job before the first decisive check.
+    # The candidate set at the r=1 check is identical (top-k over the
+    # union of rings 0..1 == top-k of per-ring top-ks under the total
+    # (dist2, neighbor_id) order), so the output is unchanged.
+    start = 1 if max_ring > 0 else 0
+    for r in range(start, max_ring + 1):
+        if r == start:
+            offs = [
+                (dx, dy)
+                for dx in range(-r, r + 1)
+                for dy in range(-r, r + 1)
+            ]
         else:
             offs = [
                 (dx, dy)
@@ -153,14 +175,10 @@ def knn_cell_ring(
         best = best.localCheckpoint(eager=checkpoint_eager)
 
         # a query is resolved when it has k candidates AND the kth distance
-        # fits inside the ring-r guarantee radius. r6: the r=0 check is
-        # skipped outright — guard is 0 there, so it can only resolve
-        # exact-duplicate stacks (kth == 0), and deferring those to the
-        # r=1 check changes no output (their top-k rows are already in
-        # `best` and survive the extra ring unchanged) while saving a
-        # full round of stats/anti-join/action bookkeeping.
-        if r == 0 and max_ring > 0:
-            continue
+        # fits inside the ring-r guarantee radius. (With ring fusion above
+        # a standalone r=0 round only exists when max_ring == 0; its
+        # guard-0 check can resolve exact-duplicate stacks, matching the
+        # pre-r6 behavior for that configuration.)
         guard = (r * min_cell) ** 2
         stats = best.groupBy("query_id").agg(
             F.count(F.lit(1)).alias("n_cand"), F.max("dist2").alias("kth")
