@@ -162,6 +162,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings scan with ROW-THRESHOLDED adaptive parallelism. The
+    similarity queries do heavy per-row numpy work in mapInArrow/pandas
+    kernels, but the contract file is a single row group (1-2 scan
+    partitions). Measured crossover: at 20k rows (sf1) a repartition is
+    net-NEGATIVE (vector shuffle + task overhead beat 2-task compute:
+    q16 2.7 vs 4.0-6.0 s, q17 3.8 vs 4.8-5.4 s A/B), at 80k rows (4x
+    corpus) the 1-2-task kernels dominate (q44 13.7 s, q16 14.5 s). So
+    repartition only when BOTH the scan has fewer partitions than
+    defaultParallelism AND the footer row count (_emb_n — free, no scan)
+    clears 40k — between the two measured regimes. At real scale the
+    partition guard alone makes this a no-op."""
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = spark.sparkContext.defaultParallelism
+    if _emb_n(sf_dir) >= 40_000 and df.rdd.getNumPartitions() < n:
+        df = df.repartition(n)
+    return df
+
+
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-adaptive scan parallelism for the MAP-HEAVY document queries
     (guide §2.2/§6: partitioning derived from input shape, not a local
@@ -355,7 +374,7 @@ def q15_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q16_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k over embeddings (similarity baseline)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.cosine_topk(emb, k=5, query_mod=25)
 
 
@@ -366,7 +385,7 @@ def q17_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     — and the candidate count per query — stays bounded as n grows.
     `n` comes from parquet footer metadata (_emb_n) — the SAME number the
     oracle generator sizes its bits from; no sizing count() scan."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.ann_topk_banded(emb, k=5, query_mod=25, n=_emb_n(sf_dir))
 
 
@@ -630,7 +649,7 @@ def q33_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the embedding leg of the dedup ladder). Candidate pairs grow
     ~linearly in n at fixed bucket occupancy instead of O(n^2/16).
     `n` from parquet footer metadata — same source as the oracle's bits."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.neardup_pairs_banded(emb, threshold=0.5, n=_emb_n(sf_dir))
 
 
@@ -670,7 +689,7 @@ def q36_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample, embeds them as DOUBLE[] literals, and expresses assignment +
     nprobe + cosine top-k in pure SQL. Recall vs brute force additionally
     asserted in tests/test_spatial.py."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.ivf_topk(emb, k=5, query_mod=25, n_clusters=8, nprobe=3)
 
 
@@ -828,7 +847,7 @@ def q44_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance is the same left-associated fold on both engines, and
     selection is the total order (adc, neighbor_id) — bit-identical with
     NO rounding, including under the ADC ties duplicate docs produce."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.pq_topk(emb, k=5, query_mod=25)
 
 
@@ -1148,7 +1167,7 @@ def q63_ivfpq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery composed), and selection is the total order
     (adc, neighbor_id) — bit-identical even under the ADC ties duplicate
     docs produce. Recall vs brute force additionally asserted in tests."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _emb(spark, sf_dir)
     return similarity.ivfpq_topk(emb, k=5, query_mod=25, n_clusters=8, nprobe=3)
 
 

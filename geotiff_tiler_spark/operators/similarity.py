@@ -1388,10 +1388,25 @@ def pq_topk(
     # fresh (nq, chunk+kk) pair per chunk: ~2 GB of first-touched pages
     # per partition, measured 249-364 s for the 1M-row stage vs this
     # formulation's bounded buffers.
-    PQ_SCAN_CHUNK = 4096
+    # r6: chunk width adapts to the query count — the five (nq, CHUNK)
+    # scratch blocks are first-touch-bound on this VM, and a FIXED 4096
+    # chunk made them grow linearly with nq (at a 4x-scale corpus:
+    # nq=3200 -> ~500 MB per task, q44 ~10x superlinear). Bounding each
+    # block to ~16 MB keeps the scan memory flat in nq; the top-k merge
+    # is chunking-INVARIANT (see the pool-merge note above), so the
+    # output is bit-identical for any chunk width.
+    PQ_SCAN_CHUNK = max(256, min(4096, 2_000_000 // max(1, len(qids))))
+    # r6: the (qids, lut) constant rides a REAL sc.broadcast instead of
+    # the task closure. A Python closure is serialized into EVERY task
+    # binary — at nq = n/25 the LUT is nq*m*ksub doubles (52 MB at a
+    # 4x-scale corpus), so 32 tasks shipped ~1.7 GB per scan and q44 went
+    # ~10x superlinear at 4x data; a broadcast ships once per worker.
+    # Same arrays, same arithmetic — output unchanged.
+    bc = emb.sparkSession.sparkContext.broadcast((qids, lut))
 
     def _scan(batches):
-        nq = len(qids)
+        qids_b, lut_b = bc.value
+        nq = len(qids_b)
         # running pool: exact lexicographic top-kk per query, padded with
         # (+inf, int64-max) sentinels that lose every finite comparison
         # and are dropped by the isfinite filter at yield time
@@ -1405,7 +1420,7 @@ def pq_topk(
         eq_buf = None
         enc_work: dict = {}  # pq_encode_codes per-chunk workspaces
         seen = False
-        luts = [np.ascontiguousarray(lut[:, j, :]) for j in range(m)]
+        luts = [np.ascontiguousarray(lut_b[:, j, :]) for j in range(m)]
         for rb in batches:
             if rb.num_rows == 0:
                 continue
@@ -1432,7 +1447,7 @@ def pq_topk(
                     np.take(luts[j], codes[:, j], axis=1, out=tmp)
                     adc += tmp
                 # self-match exclusion
-                self_mask = np.equal(nids[None, :], qids[:, None], out=eq_buf[:, :w])
+                self_mask = np.equal(nids[None, :], qids_b[:, None], out=eq_buf[:, :w])
                 if self_mask.any():
                     adc[self_mask] = np.inf
                 # per-row kk-th smallest adc, via in-place partition of a
@@ -1462,7 +1477,7 @@ def pq_topk(
         if not seen:
             return
         keep = np.isfinite(pool_d)
-        qcol = np.broadcast_to(qids[:, None], pool_d.shape)
+        qcol = np.broadcast_to(qids_b[:, None], pool_d.shape)
         yield pa.RecordBatch.from_pydict(
             {
                 "query_id": qcol[keep].astype(np.int64, copy=False),
