@@ -658,6 +658,18 @@ def duplicate_clusters(
         .withColumn("lbl", F.col("node"))
         .localCheckpoint(eager=False)
     )
+    # r6: the convergence probe is the LABEL SUM, not a join. Min-label
+    # propagation is monotone (every node's label can only decrease), so
+    # sum(lbl) strictly decreases while ANY node changes and is constant
+    # exactly at the fixpoint — the same stopping round as the old
+    # newl-vs-labels join + filter + limit(1) probe, for one tiny
+    # aggregate action per round instead of a two-sided label join.
+    # DECIMAL(38,0) keeps the sum exact far beyond bigint (10^12 nodes x
+    # 10^12 ids ~ 10^24 < 10^38).
+    _dsum = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("lbl").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    prev_sum = _dsum(labels)  # also materializes the labels checkpoint
     for _ in range(max_rounds):
         prop = (
             edges.join(labels.withColumnRenamed("node", "src"), "src")
@@ -669,16 +681,11 @@ def duplicate_clusters(
             .agg(F.min("lbl").alias("lbl"))
             .localCheckpoint(eager=False)
         )
-        changed = (
-            newl.withColumnRenamed("lbl", "new_lbl")
-            .join(labels, "node")
-            .filter(F.col("new_lbl") != F.col("lbl"))
-            .limit(1)
-            .count()
-        )
+        cur_sum = _dsum(newl)
         labels = newl
-        if changed == 0:
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(F.col("node").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
